@@ -1,0 +1,80 @@
+"""Top-level evolution API: reference-compatible `simulate_rare`.
+
+Returns ``(t, traces)`` with the exact key set the reference's solver wrapper
+produces (dipolar_ensemble_with_rare.py:611-680): Ix/Iy/Iz_sea, Iz/Ix/Iy_R
+(real expectation traces) and state_norm.
+
+Solver dispatch (params.solver_method):
+  * "eig"    — dense eigendecomposition propagator (exact; default for
+               Hilbert dims where a host eigensolve is cheap).
+  * "expm"   — on-device scaling-and-squaring step operator + blocked matmul
+               propagation (exact to ~1e-13; large dense dims).
+  * "krylov" — matrix-free Lanczos expm-multiply (large / sharded dims).
+  * "dopri"  — adaptive Dormand–Prince (time-dependent Hamiltonians).
+  * "auto"   — pick by Hilbert dimension.
+
+The reference's solver tolerances (solver_atol/rtol/nsteps/max_step) are
+accepted for config compatibility; the exact propagators do not need them and
+they are recorded as provenance only.  The "dopri" path honors atol/rtol.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.dipolar import build_model
+from ..models.params import DipolarRareParams
+from .eig_propagator import eig_propagate_traces, eigh_host
+from .observables import assemble_traces
+
+_EIG_MAX_DIM = 4096
+
+
+def _auto_method(dim: int) -> str:
+    return "eig" if dim <= _EIG_MAX_DIM else "expm"
+
+
+def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+    """Run one time evolution; reference-compatible signature and outputs."""
+    if params.steps < 2 or params.t_final <= 0.0:
+        raise ValueError("Bad time grid: steps >= 2 and t_final > 0.")
+
+    model = build_model(params)
+    t = np.linspace(0.0, params.t_final, params.steps)
+    dims = model.dims
+    dim = int(np.prod(dims))
+
+    method = params.solver_method
+    if method == "auto":
+        method = _auto_method(dim)
+
+    if method == "eig":
+        H = model.hamiltonian.to_dense()
+        w, V = eigh_host(H)
+        out = eig_propagate_traces(w, V, model.psi0, t, dims)
+    elif method == "expm":
+        from .expm_propagator import expm_propagate_traces
+
+        out = expm_propagate_traces(model.hamiltonian, model.psi0, t, dims)
+    elif method == "krylov":
+        from .krylov import krylov_propagate_traces
+
+        out = krylov_propagate_traces(model.hamiltonian, model.psi0, t, dims)
+    elif method == "dopri":
+        from .dopri import dopri_propagate_traces
+
+        out = dopri_propagate_traces(
+            model.hamiltonian,
+            model.psi0,
+            t,
+            dims,
+            atol=params.solver_atol or 1e-10,
+            rtol=params.solver_rtol or 1e-9,
+        )
+    else:
+        raise ValueError(f"unknown solver_method: {params.solver_method!r}")
+
+    traces = assemble_traces(
+        out["site_xyz"], out["norm"], model.n_sea_effective, model.idx_rare
+    )
+    return t, traces

@@ -1,0 +1,87 @@
+"""On-device expectation-value traces from statevector blocks.
+
+Instead of materializing dense observable matrices and computing
+<psi|O|psi> per output time (the reference lets ``qt.sesolve`` do this with
+six dense e_ops, dipolar_ensemble_with_rare.py:653-666), we compute per-site
+single-spin reduced density matrices for a whole block of time points with a
+single einsum per site — O(dim * d_site^2) per time point — and take traces
+against the 2x2 / 4x4 spin matrices.  Collective sea observables are sums of
+per-site expectations (linearity).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import Cplx
+from ..ops.spin import spin_matrix
+
+
+def site_xyz_expectations(states: Cplx, dims: tuple[int, ...]) -> jnp.ndarray:
+    """Per-site <Sx>, <Sy>, <Sz> for a block of states.
+
+    Parameters
+    ----------
+    states : Cplx with shape (dim, T)
+        Columns are statevectors at successive output times.
+    dims : per-site local dimensions (static).
+
+    Returns
+    -------
+    jnp.ndarray of shape (n_sites, 3, T), real float64.
+    """
+    n_sites = len(dims)
+    T = states.shape[-1]
+    outs = []
+    for site in range(n_sites):
+        dl = int(np.prod(dims[:site], dtype=np.int64)) if site > 0 else 1
+        d = dims[site]
+        dr = int(np.prod(dims[site + 1 :], dtype=np.int64)) if site + 1 < n_sites else 1
+        pr = states.re.reshape(dl, d, dr, T)
+        pi = states.im.reshape(dl, d, dr, T)
+        # rho[t, a, b] = sum_{l,r} psi[l,a,r,t] conj(psi[l,b,r,t])
+        rho_re = jnp.einsum("lart,lbrt->tab", pr, pr) + jnp.einsum("lart,lbrt->tab", pi, pi)
+        rho_im = jnp.einsum("lart,lbrt->tab", pi, pr) - jnp.einsum("lart,lbrt->tab", pr, pi)
+        s = (d - 1) / 2.0
+        per_op = []
+        for which in ("x", "y", "z"):
+            op = spin_matrix(s, which)
+            op_re = jnp.asarray(np.real(op))
+            op_im = jnp.asarray(np.imag(op))
+            # Re tr(rho @ op) = sum_ab rho_re[a,b] op_re[b,a] - rho_im[a,b] op_im[b,a]
+            e = jnp.einsum("tab,ba->t", rho_re, op_re) - jnp.einsum("tab,ba->t", rho_im, op_im)
+            per_op.append(e)
+        outs.append(jnp.stack(per_op))  # (3, T)
+    return jnp.stack(outs)  # (n_sites, 3, T)
+
+
+def state_norms(states: Cplx) -> jnp.ndarray:
+    """||psi(t)|| per column — the reference's integrator diagnostic."""
+    return jnp.sqrt(jnp.sum(states.abs2(), axis=0))
+
+
+def assemble_traces(
+    site_xyz: np.ndarray,
+    norms: np.ndarray,
+    n_sea_effective: int,
+    idx_rare: int,
+) -> dict[str, np.ndarray]:
+    """Build the reference's named observable dict from per-site expectations.
+
+    Keys match dipolar_ensemble_with_rare.py:671-679: collective sea sums
+    over sites [0, n_sea_effective) and the rare site's x/y/z, plus
+    state_norm.  For the sea-as-center control variant, n_sea_effective
+    includes the center site (reference :488-489).
+    """
+    sea = site_xyz[:n_sea_effective]  # (n_sea_eff, 3, T)
+    rare = site_xyz[idx_rare]  # (3, T)
+    return {
+        "Ix_sea": np.asarray(sea[:, 0, :].sum(axis=0)),
+        "Iy_sea": np.asarray(sea[:, 1, :].sum(axis=0)),
+        "Iz_sea": np.asarray(sea[:, 2, :].sum(axis=0)),
+        "Iz_R": np.asarray(rare[2]),
+        "Ix_R": np.asarray(rare[0]),
+        "Iy_R": np.asarray(rare[1]),
+        "state_norm": np.asarray(norms),
+    }

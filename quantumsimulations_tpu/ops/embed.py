@@ -1,0 +1,202 @@
+"""Operator IR: sums of tensor-product terms over a mixed-dimension spin chain.
+
+Instead of materializing Kronecker chains of QuTiP ``Qobj``s (reference:
+dipolar_ensemble_with_rare.py:37-52), operators are kept as a light IR — a sum
+of :class:`ProductTerm`s, each a scalar coefficient times single-site operator
+factors.  The IR supports three executions:
+
+  * ``to_dense()``        — host-side numpy complex128 assembly (oracle /
+                            eigendecomposition input, small Hilbert spaces);
+  * ``apply(state)``      — matrix-free structured apply on a (re, im) float64
+                            :class:`~quantumsimulations_tpu.ops.cplx.Cplx`
+                            statevector, jit/vmap/shard-friendly (large or
+                            sharded Hilbert spaces);
+  * expectation helpers via single-site reduced density matrices.
+
+Sites are indexed 0..n-1 with per-site local dimension ``dims[k]`` (the rare
+spin, when present, is the last index, matching the reference convention at
+dipolar_ensemble_with_rare.py:28-34).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cplx import Cplx, einsum as ceinsum
+from .spin import spin_matrix
+
+
+def local_op(dim: int, which: str) -> np.ndarray:
+    """Single-site spin operator for a site of local dimension ``dim``."""
+    s = (dim - 1) / 2.0
+    return spin_matrix(s, which)
+
+
+@dataclass(frozen=True)
+class ProductTerm:
+    """coeff * prod_k op_k acting on the listed sites (identity elsewhere)."""
+
+    coeff: float
+    factors: tuple[tuple[int, str], ...]  # ((site, opname), ...) sorted by site
+
+    def __post_init__(self):
+        sites = [s for s, _ in self.factors]
+        if sorted(sites) != list(sites) or len(set(sites)) != len(sites):
+            raise ValueError("factors must be sorted by site and unique")
+
+
+@dataclass(frozen=True)
+class OperatorSum:
+    """A Hermitian-by-construction sum of product terms on a spin chain."""
+
+    dims: tuple[int, ...]
+    terms: tuple[ProductTerm, ...]
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def single_site(dims: Sequence[int], site: int, which: str, coeff: float = 1.0) -> "OperatorSum":
+        return OperatorSum(tuple(dims), (ProductTerm(coeff, ((site, which),)),))
+
+    @staticmethod
+    def sum_over_sites(dims: Sequence[int], sites: Sequence[int], which: str, coeff: float = 1.0) -> "OperatorSum":
+        return OperatorSum(
+            tuple(dims), tuple(ProductTerm(coeff, ((s, which),)) for s in sites)
+        )
+
+    def __add__(self, other: "OperatorSum") -> "OperatorSum":
+        if other == 0:
+            return self
+        if self.dims != other.dims:
+            raise ValueError("dims mismatch")
+        return OperatorSum(self.dims, self.terms + other.terms)
+
+    __radd__ = __add__
+
+    def __mul__(self, c: float) -> "OperatorSum":
+        return OperatorSum(
+            self.dims, tuple(ProductTerm(t.coeff * c, t.factors) for t in self.terms)
+        )
+
+    __rmul__ = __mul__
+
+    @property
+    def dim(self) -> int:
+        return int(np.prod(self.dims))
+
+    # -- dense assembly (host) ------------------------------------------------
+    def to_dense(self) -> np.ndarray:
+        """Assemble the full matrix on the host as numpy complex128.
+
+        Each term is expanded by a Kronecker chain over the site list; identity
+        factors are fused by index bookkeeping rather than materialized kron
+        with explicit eyes when possible.
+        """
+        dim = self.dim
+        H = np.zeros((dim, dim), dtype=np.complex128)
+        for term in self.terms:
+            mats = []
+            fac = dict(term.factors)
+            for k, d in enumerate(self.dims):
+                mats.append(local_op(d, fac[k]) if k in fac else np.eye(d, dtype=np.complex128))
+            M = reduce(np.kron, mats)
+            H += term.coeff * M
+        return H
+
+    def to_dense_cplx(self, dtype=jnp.float64) -> Cplx:
+        return Cplx.from_numpy(self.to_dense(), dtype=dtype)
+
+    # -- structured decomposition ----------------------------------------------
+    def diagonal_part(self) -> np.ndarray:
+        """Sum of all purely-diagonal terms as a length-dim real vector.
+
+        Terms made only of 'z' (and 'i') factors are diagonal in the product
+        basis; aggregating them into one vector turns the dominant part of the
+        dipolar Hamiltonian into a single elementwise multiply.
+        """
+        diag = np.zeros(self.dim, dtype=np.float64)
+        for term in self.terms:
+            if not self._is_diagonal(term):
+                continue
+            v = np.ones(1, dtype=np.float64)
+            fac = dict(term.factors)
+            for k, d in enumerate(self.dims):
+                if k in fac:
+                    loc = np.real(np.diag(local_op(d, fac[k])))
+                else:
+                    loc = np.ones(d)
+                v = np.kron(v, loc)
+            diag += term.coeff * v
+        return diag
+
+    @staticmethod
+    def _is_diagonal(term: ProductTerm) -> bool:
+        return all(op in ("z", "i") for _, op in term.factors)
+
+    def offdiagonal_terms(self) -> tuple[ProductTerm, ...]:
+        return tuple(t for t in self.terms if not self._is_diagonal(t))
+
+    # -- matrix-free apply ------------------------------------------------------
+    def apply(self, psi: Cplx, diag: jnp.ndarray | None = None) -> Cplx:
+        """H @ psi for a flat statevector, without materializing H.
+
+        ``diag`` may be passed in as a precomputed device array (from
+        :meth:`diagonal_part`); otherwise it is computed host-side here.
+        The off-diagonal terms are applied one by one as per-site tensor
+        contractions (XLA fuses the transposes/reshapes).
+        """
+        dims = self.dims
+        if diag is None:
+            diag = jnp.asarray(self.diagonal_part())
+        out = Cplx(psi.re * diag, psi.im * diag)
+        psi_t = psi.reshape(dims)
+        for term in self.offdiagonal_terms():
+            contrib = _apply_product_term(psi_t, dims, term)
+            out = out + contrib.reshape(psi.shape)
+        return out
+
+
+def _apply_product_term(psi_t: Cplx, dims: tuple[int, ...], term: ProductTerm) -> Cplx:
+    """Apply coeff * prod(op_site) to a tensor-shaped statevector."""
+    n = len(dims)
+    out = psi_t
+    for site, which in term.factors:
+        op = Cplx.from_numpy(local_op(dims[site], which))
+        # contract: out'[..., a, ...] = sum_b op[a, b] out[..., b, ...]
+        axes = list(range(n))
+        # move `site` axis to front, matmul, move back — via einsum for clarity
+        letters = [chr(ord("a") + k) for k in range(n)]
+        in_spec = "".join(letters)
+        out_letters = letters.copy()
+        out_letters[site] = "Z"
+        spec = f"Z{letters[site]},{in_spec}->{''.join(out_letters)}"
+        out = ceinsum(spec, op, out)
+    return out * term.coeff
+
+
+def site_reduced_density(psi: Cplx, dims: Sequence[int], site: int) -> Cplx:
+    """Single-site reduced density matrix rho_site from a flat statevector.
+
+    rho[a, b] = sum_{l, r} psi[l, a, r] * conj(psi[l, b, r])
+    """
+    dims = tuple(dims)
+    dl = int(np.prod(dims[:site], dtype=np.int64)) if site > 0 else 1
+    d = dims[site]
+    dr = int(np.prod(dims[site + 1 :], dtype=np.int64)) if site + 1 < len(dims) else 1
+    p = psi.reshape((dl, d, dr))
+    re = jnp.einsum("lar,lbr->ab", p.re, p.re) + jnp.einsum("lar,lbr->ab", p.im, p.im)
+    im = jnp.einsum("lar,lbr->ab", p.im, p.re) - jnp.einsum("lar,lbr->ab", p.re, p.im)
+    return Cplx(re, im)
+
+
+def expect_site(psi: Cplx, dims: Sequence[int], site: int, which: str) -> jnp.ndarray:
+    """Real part of <psi| op_site |psi> via the reduced density matrix."""
+    rho = site_reduced_density(psi, dims, site)
+    op = Cplx.from_numpy(local_op(tuple(dims)[site], which))
+    # tr(rho @ op), real part: sum_ab rho[a,b] op[b,a]
+    val = jnp.sum(rho.re * op.re.T) - jnp.sum(rho.im * op.im.T)
+    return val

@@ -1,0 +1,133 @@
+"""Complex-pair arithmetic and the operator IR vs a numpy-kron oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quantumsimulations_tpu.ops.cplx import Cplx, expi, matmul, norm, vdot
+from quantumsimulations_tpu.ops.embed import (
+    OperatorSum,
+    ProductTerm,
+    expect_site,
+    local_op,
+    site_reduced_density,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _rand_c(*shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def test_cplx_roundtrip_and_arith():
+    a = _rand_c(5, 3)
+    b = _rand_c(5, 3)
+    ca, cb = Cplx.from_numpy(a), Cplx.from_numpy(b)
+    assert np.allclose((ca + cb).to_numpy(), a + b)
+    assert np.allclose((ca - cb).to_numpy(), a - b)
+    assert np.allclose((ca * cb).to_numpy(), a * b)
+    assert np.allclose(ca.conj().to_numpy(), a.conj())
+    assert np.allclose(ca.abs2(), np.abs(a) ** 2)
+    assert np.allclose((ca * 2.5).to_numpy(), a * 2.5)
+    assert np.allclose((ca * (1 + 2j)).to_numpy(), a * (1 + 2j))
+
+
+def test_cplx_matmul_vdot_norm():
+    a = _rand_c(4, 6)
+    b = _rand_c(6, 3)
+    assert np.allclose(matmul(Cplx.from_numpy(a), Cplx.from_numpy(b)).to_numpy(), a @ b, atol=1e-14)
+    v = _rand_c(7)
+    w = _rand_c(7)
+    assert np.allclose(vdot(Cplx.from_numpy(v), Cplx.from_numpy(w)).to_numpy(), np.vdot(v, w))
+    assert np.isclose(norm(Cplx.from_numpy(v)), np.linalg.norm(v))
+
+
+def test_cplx_dagger_expi():
+    a = _rand_c(3, 5)
+    assert np.allclose(Cplx.from_numpy(a).dagger().to_numpy(), a.conj().T)
+    th = rng.standard_normal(10)
+    assert np.allclose(expi(jnp.asarray(th)).to_numpy(), np.exp(1j * th))
+
+
+# ---------------------------------------------------------------------------
+# Operator IR vs explicit kron chains
+# ---------------------------------------------------------------------------
+
+def _kron_chain(dims, placed):
+    mats = []
+    for k, d in enumerate(dims):
+        mats.append(placed.get(k, np.eye(d, dtype=complex)))
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.kron(out, m)
+    return out
+
+
+@pytest.mark.parametrize("dims", [(2, 2, 2), (2, 2, 4), (2, 4, 2, 2)])
+def test_dense_assembly_matches_kron_oracle(dims):
+    terms = (
+        ProductTerm(0.7, ((0, "z"),)),
+        ProductTerm(-1.3, ((1, "x"), (len(dims) - 1, "z"))),
+        ProductTerm(0.25, ((0, "y"), (1, "y"))),
+    )
+    op = OperatorSum(dims, terms)
+    expected = sum(
+        t.coeff * _kron_chain(dims, {s: local_op(dims[s], w) for s, w in t.factors})
+        for t in terms
+    )
+    assert np.allclose(op.to_dense(), expected, atol=1e-14)
+
+
+@pytest.mark.parametrize("dims", [(2, 2, 2), (2, 2, 4)])
+def test_matrix_free_apply_matches_dense(dims):
+    dim = int(np.prod(dims))
+    terms = (
+        ProductTerm(0.5, ((0, "z"),)),
+        ProductTerm(1.1, ((0, "z"), (1, "z"))),
+        ProductTerm(-0.4, ((0, "x"), (1, "x"))),
+        ProductTerm(0.9, ((1, "y"), (len(dims) - 1, "y"))),
+        ProductTerm(0.3, ((len(dims) - 1, "x"),)),
+    )
+    op = OperatorSum(dims, terms)
+    H = op.to_dense()
+    psi = _rand_c(dim)
+    got = op.apply(Cplx.from_numpy(psi)).to_numpy()
+    assert np.allclose(got, H @ psi, atol=1e-13)
+
+
+def test_diagonal_part_extraction():
+    dims = (2, 2, 2)
+    terms = (
+        ProductTerm(0.5, ((0, "z"),)),
+        ProductTerm(1.5, ((1, "z"), (2, "z"))),
+        ProductTerm(-0.4, ((0, "x"),)),  # off-diagonal, excluded
+    )
+    op = OperatorSum(dims, terms)
+    diag = op.diagonal_part()
+    dense_diag_terms = OperatorSum(dims, terms[:2]).to_dense()
+    assert np.allclose(diag, np.real(np.diag(dense_diag_terms)), atol=1e-14)
+    assert len(op.offdiagonal_terms()) == 1
+
+
+def test_site_reduced_density_and_expectation():
+    dims = (2, 4, 2)
+    dim = int(np.prod(dims))
+    psi = _rand_c(dim)
+    psi /= np.linalg.norm(psi)
+    cp = Cplx.from_numpy(psi)
+    for site in range(3):
+        rho = site_reduced_density(cp, dims, site).to_numpy()
+        # oracle: rho_site by explicit partial trace
+        t = psi.reshape(dims)
+        axes = [k for k in range(3) if k != site]
+        t_moved = np.moveaxis(t, site, 0).reshape(dims[site], -1)
+        rho_exp = t_moved @ t_moved.conj().T
+        assert np.allclose(rho, rho_exp, atol=1e-13)
+        assert np.isclose(np.trace(rho).real, 1.0, atol=1e-12)
+        for which in "xyz":
+            op = local_op(dims[site], which)
+            full = _kron_chain(dims, {site: op})
+            want = np.real(psi.conj() @ full @ psi)
+            got = float(expect_site(cp, dims, site, which))
+            assert np.isclose(got, want, atol=1e-12)
