@@ -66,8 +66,19 @@ _coeffs_kernel = jax.jit(_coeffs)
 
 
 def default_time_chunk(dim: int, T: int, batch: int = 1) -> int:
-    """Bound the per-chunk states block to ~512 MB of f64 pairs."""
-    return max(64, min(T, (1 << 25) // max(1, dim * batch)))
+    """Bound the per-chunk states block.
+
+    The budget is deliberately small (~64 MB of f64 pairs): on TPU the x64
+    rewriter expands f64 matmuls/einsums into multi-limb bf16/f32 passes with
+    ~10x temporary inflation and heavy fragmentation, so a 512 MB block OOMs
+    a 16 GB chip.  Override with QST_TCHUNK for experiments.
+    """
+    import os
+
+    env = os.environ.get("QST_TCHUNK")
+    if env:
+        return max(1, min(T, int(env)))
+    return max(64, min(T, (1 << 22) // max(1, dim * batch)))
 
 
 def eig_propagate_traces(

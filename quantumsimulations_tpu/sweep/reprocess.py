@@ -1,0 +1,128 @@
+"""Re-analysis of saved sweeps — change the coarse window without re-solving.
+
+Framework version of the reference's reprocessor
+(reprocess_sweep_results.py:95-804).  The run-vs-reprocess boundary is a
+design invariant (reference README "re-run vs reprocess"): geometry /
+Hamiltonian / time-grid changes require re-solving; analysis-choice changes
+(coarse window, fit windows, thresholds) only require this layer, which
+reads the NPZ traces back from disk.
+
+Outputs ``summary_reprocessed_win{N}.json`` (or ``summary_reprocessed.json``
+when window <= 0 means "keep the original window"), with the original metric
+keys plus the reprocessor's extra fields delta_I_z_slope_center /
+abs_delta_I_z_slope_center (reference :362-363).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from ..analysis.metrics import (
+    contrast_michelson_with_t_gate,
+    coarse_grain,
+    detuning_label,
+    eta_mismatch,
+    iz_slope_from_coarse,
+)
+from ..artifacts.writer import json_dump, load_trace_npz
+
+
+def find_sweep_dirs(root: str) -> list[str]:
+    """Recursively find sweep dirs by the presence of summary.json."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        if "summary.json" in files:
+            out.append(dirpath)
+    return sorted(out)
+
+
+def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False) -> str:
+    """Recompute slope/contrast/eta metrics for one sweep dir; returns the
+    path of the written summary JSON."""
+    with open(os.path.join(sweep_dir, "summary.json"), "r", encoding="utf-8") as f:
+        summary = json.load(f)
+    gp = summary.get("global_params", {})
+    f1A = float(gp.get("f1A_Hz", float("nan")))
+    f1R = float(gp.get("f1R_Hz", float("nan")))
+    rms_b_AR = float(gp.get("rms_b_AR_Hz", float("nan")))
+    window = coarse_window if coarse_window > 0 else int(gp.get("coarse_window", 100))
+
+    new_rows: list[dict[str, Any]] = []
+    rows = sorted(summary.get("sweep_results", []), key=lambda r: r.get("delta_Hz", 0.0))
+    for row in rows:
+        delta_Hz = float(row["delta_Hz"])
+        det_dir = os.path.join(sweep_dir, detuning_label(delta_Hz))
+        if not os.path.isdir(det_dir):
+            print(f"  [skip] missing detuning dir for {delta_Hz:+.1f} Hz")
+            continue
+        try:
+            t_off, obs_off = load_trace_npz(det_dir, "center_off")
+            t_on, obs_on = load_trace_npz(det_dir, "center_on")
+            t_sc, obs_sc = load_trace_npz(det_dir, "shell_off")
+        except FileNotFoundError as exc:
+            print(f"  [skip] {delta_Hz:+.1f} Hz: {exc}")
+            continue
+
+        t_c_off, iz_c_off = coarse_grain(t_off, obs_off["Iz_sea"], window)
+        t_c_on, iz_c_on = coarse_grain(t_on, obs_on["Iz_sea"], window)
+        t_c_sc, iz_c_sc = coarse_grain(t_sc, obs_sc["Iz_sea"], window)
+        slope_off = iz_slope_from_coarse(t_c_off, iz_c_off)
+        slope_on = iz_slope_from_coarse(t_c_on, iz_c_on)
+        slope_sc = iz_slope_from_coarse(t_c_sc, iz_c_sc)
+
+        contrast_rare = contrast_michelson_with_t_gate(
+            slope_on["I_z_slope"], slope_off["I_z_slope"],
+            slope_on["t_value"], slope_off["t_value"],
+        )
+        contrast_sea = contrast_michelson_with_t_gate(
+            slope_on["I_z_slope"], slope_sc["I_z_slope"],
+            slope_on["t_value"], slope_sc["t_value"],
+        )
+        eta = eta_mismatch(delta_Hz, f1A, f1R, rms_b_AR)
+        d_slope = slope_on["I_z_slope"] - slope_off["I_z_slope"]
+
+        new_rows.append(
+            {
+                "delta_Hz": delta_Hz,
+                "f_rf_sea_Hz": float(row.get("f_rf_sea_Hz", float("nan"))),
+                "I_z_slope_off_center": float(slope_off["I_z_slope"]),
+                "R_off_center": float(slope_off["R_value"]),
+                "t_off_center": float(slope_off["t_value"]),
+                "I_z_slope_on_center": float(slope_on["I_z_slope"]),
+                "R_on_center": float(slope_on["R_value"]),
+                "t_on_center": float(slope_on["t_value"]),
+                "contrast_rare_center": float(contrast_rare),
+                "I_z_slope_off_sea_center": float(slope_sc["I_z_slope"]),
+                "R_off_sea_center": float(slope_sc["R_value"]),
+                "t_off_sea_center": float(slope_sc["t_value"]),
+                "contrast_sea_center": float(contrast_sea),
+                "DeltaOmega_Hz": eta["DeltaOmega_Hz"],
+                "g_eff_Hz": eta["g_eff_Hz"],
+                "DeltaOmega_over_geff": eta["DeltaOmega_over_geff"],
+                "delta_I_z_slope_center": float(d_slope),
+                "abs_delta_I_z_slope_center": float(abs(d_slope)),
+            }
+        )
+
+    out = {
+        "global_params": {**gp, "coarse_window_reprocessed": window},
+        "sweep_results": new_rows,
+    }
+    suffix = f"_win{window}" if coarse_window > 0 else ""
+    out_path = os.path.join(sweep_dir, f"summary_reprocessed{suffix}.json")
+    json_dump(out_path, out)
+
+    if make_plots:
+        from matplotlib.backends.backend_pdf import PdfPages
+
+        from ..artifacts import report as rpt
+
+        pdf_path = os.path.join(sweep_dir, f"reprocessed{suffix}_report.pdf")
+        with PdfPages(pdf_path) as pdf:
+            rpt.summary_table_page(pdf, new_rows)
+            rpt.contrast_vs_eta_page(pdf, sweep_dir, new_rows)
+    return out_path

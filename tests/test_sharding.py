@@ -1,0 +1,160 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh (SURVEY.md §4.4):
+sharded-statevector H apply + Krylov step vs dense, and dp-sharded sweeps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from quantumsimulations_tpu.dynamics.eig_propagator import (
+    eig_propagate_traces_batched,
+    eigh_host,
+)
+from quantumsimulations_tpu.dynamics.krylov import make_krylov_step, spectral_norm_bound
+from quantumsimulations_tpu.models.dipolar import build_model
+from quantumsimulations_tpu.models.params import DipolarRareParams
+from quantumsimulations_tpu.ops.cplx import Cplx
+from quantumsimulations_tpu.parallel.mesh import make_mesh
+from quantumsimulations_tpu.parallel.state_sharded import make_sharded_apply
+from quantumsimulations_tpu.parallel.sweep_shard import eig_propagate_traces_sharded
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _params(n_sea=4, **kw):
+    gamma_sea, gamma_rare = 8.1812e7, 6.976e7
+    B0 = 3.0
+    f1A = 50e3
+    base = dict(
+        n_sea=n_sea,
+        gamma_sea=gamma_sea,
+        gamma_rare=gamma_rare,
+        B0_sea=B0,
+        B0_rare=B0,
+        B1_sea=2 * np.pi * f1A / gamma_sea,
+        B1_rare=2 * np.pi * 70710.678 / gamma_rare,
+        omega_rf_sea=gamma_sea * B0 - 2 * np.pi * 1000.0,
+        omega_rf_rare=gamma_rare * B0,
+        phi_sea=np.pi / 2,
+        phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34,
+        shell_scale=0.282393e-9,
+        t_final=2.0e-4,
+        steps=21,
+        drive_sea=True,
+        drive_rare=True,
+        is_spin_three_half=False,
+        is_center_rare=True,
+    )
+    base.update(kw)
+    return DipolarRareParams(**base)
+
+
+@requires_8
+@pytest.mark.parametrize("sp", [2, 4, 8])
+def test_sharded_apply_matches_dense(sp):
+    params = _params(n_sea=4)
+    model = build_model(params)
+    H = model.hamiltonian
+    dim = int(np.prod(model.dims))
+    mesh = make_mesh(sp, sp=sp)
+
+    apply_fn, _diag, sharding, _sh = make_sharded_apply(H, mesh, axis="sp")
+    rng = np.random.default_rng(11)
+    psi = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+    psi /= np.linalg.norm(psi)
+
+    re = jax.device_put(jnp.asarray(psi.real), sharding)
+    im = jax.device_put(jnp.asarray(psi.imag), sharding)
+    out_re, out_im = apply_fn(re, im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    want = H.to_dense() @ psi
+    assert np.allclose(got, want, atol=1e-12 * max(1, np.abs(want).max()))
+
+
+@requires_8
+def test_sharded_apply_spin32_rare_local():
+    """Rare site (dim 4) stays local; sharded qubits are the sea."""
+    params = _params(n_sea=3, is_spin_three_half=True)
+    model = build_model(params)
+    dim = int(np.prod(model.dims))
+    mesh = make_mesh(2, sp=2)
+    apply_fn, _d, sharding, _s = make_sharded_apply(model.hamiltonian, mesh, axis="sp")
+    rng = np.random.default_rng(5)
+    psi = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+    re = jax.device_put(jnp.asarray(psi.real), sharding)
+    im = jax.device_put(jnp.asarray(psi.imag), sharding)
+    out_re, out_im = apply_fn(re, im)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    want = model.hamiltonian.to_dense() @ psi
+    assert np.allclose(got, want, atol=1e-12 * max(1, np.abs(want).max()))
+
+
+@requires_8
+def test_sharded_krylov_step_matches_unsharded():
+    """Full sharded time step: Lanczos with psum inner products on a sharded
+    statevector equals the single-device step."""
+    from functools import partial
+
+    params = _params(n_sea=4)
+    model = build_model(params)
+    H = model.hamiltonian
+    dim = int(np.prod(model.dims))
+    sp = 4
+    mesh = make_mesh(sp, sp=sp)
+    dt = 2.0e-5
+
+    # unsharded step
+    step, n_sub = make_krylov_step(H, dt, m=24)
+    psi0 = model.psi0
+    want = step(Cplx.from_numpy(psi0)).to_numpy()
+
+    # sharded step: same Lanczos inside shard_map with the sharded apply
+    _, _, sharding, sh = make_sharded_apply(H, mesh, axis="sp")
+    diag_dev = jax.device_put(jnp.asarray(sh.diag), sharding)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("sp"), P("sp"), P("sp")),
+        out_specs=(P("sp"), P("sp")),
+    )
+    def sharded_step(psi_re, psi_im, diag):
+        local_apply = lambda p: sh.local_apply(p, diag, "sp")
+        stp, _ = make_krylov_step(
+            H, dt, m=24, apply_h=local_apply, axis_name="sp",
+            norm_bound=spectral_norm_bound(H),
+        )
+        out = stp(Cplx(psi_re, psi_im))
+        return out.re, out.im
+
+    re = jax.device_put(jnp.asarray(psi0.real), sharding)
+    im = jax.device_put(jnp.asarray(psi0.imag), sharding)
+    out_re, out_im = jax.jit(sharded_step)(re, im, diag_dev)
+    got = np.asarray(out_re) + 1j * np.asarray(out_im)
+    assert np.allclose(got, want, atol=1e-11)
+    assert np.isclose(np.linalg.norm(got), 1.0, atol=1e-11)
+
+
+@requires_8
+@pytest.mark.parametrize("batch", [4, 6])  # 6 tests padding (8 devices, dp=8)
+def test_dp_sharded_sweep_matches_unsharded(batch):
+    mesh = make_mesh(8, sp=1)
+    params = [
+        _params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * (500.0 * (i + 1)))
+        for i in range(batch)
+    ]
+    models = [build_model(p) for p in params]
+    t = np.linspace(0.0, params[0].t_final, params[0].steps)
+    ws, Vs = zip(*[eigh_host(m.hamiltonian.to_dense()) for m in models])
+    w = np.stack(ws)
+    V = np.stack(Vs)
+    psi0 = np.stack([m.psi0 for m in models])
+    dims = models[0].dims
+
+    plain = eig_propagate_traces_batched(w, V, psi0, t, dims)
+    sharded = eig_propagate_traces_sharded(w, V, psi0, t, dims, mesh)
+    assert sharded["site_xyz"].shape == plain["site_xyz"].shape
+    assert np.allclose(sharded["site_xyz"], plain["site_xyz"], atol=1e-12)
+    assert np.allclose(sharded["norm"], plain["norm"], atol=1e-12)
