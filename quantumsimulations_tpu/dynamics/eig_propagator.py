@@ -9,10 +9,23 @@ entire trace is available in closed form:
 Where the reference pushes ~3e6 adaptive ODE steps through QuTiP/SciPy per
 simulation (30 s horizon at max_step=1e-5, sweep_sea_detuning.py:1247-1250),
 this propagator does ONE host-side eigendecomposition per Hamiltonian and then
-produces all 20k output states with a single MXU-shaped complex matmul
-(dim x dim) @ (dim x T), evaluated in (re, im) float64 planes and chunked over
-time to bound memory.  Expectation traces come from per-site reduced density
-matrices (observables.py) without ever materializing dense observables.
+produces all 20k output states with MXU-shaped complex matmuls in (re, im)
+float64 planes.  Expectation traces come from per-site reduced density
+matrices (observables.py) without materializing dense observables.
+
+Hard-won TPU/tunnel lessons baked into the structure:
+  * the whole time axis is processed inside ONE device program
+    (lax.map over fixed-size chunks) — per-chunk host dispatches cost
+    seconds each through the axon relay;
+  * the x64 rewriter inflates f64 temporaries ~10x, so chunks are small
+    (default_time_chunk) and nothing dim^2-sized is stacked over chunks;
+  * device->host bandwidth through the tunnel is low and fluctuates, so the
+    kernel ASSEMBLES the named observables on device (collective sea sums +
+    rare site + norm + energy = 8 rows/sim) instead of shipping per-site
+    component traces — the transfer is the irreducible artifact payload;
+  * reshaping/transposing big tiled scan outputs inside jit stalls the
+    remote compiler — outputs keep their scan-major layout and the cheap
+    final reshape happens on host.
 
 Phase arguments w*t (up to ~1e8 rad at 30 s) are handled by the uniform-grid
 reduction in phase.py (host longdouble per-step reduction + small-argument
@@ -21,6 +34,7 @@ device reduction), adding < 1e-11 rad of error on any backend.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -31,6 +45,10 @@ from ..ops.cplx import Cplx, matmul
 from .observables import site_xyz_expectations, state_norms
 from .phase import grid_expi_neg, reduce_wdt_host, uniform_grid_decomposition
 
+#: row order of assembled trace blocks (matches the reference's observable
+#: dict plus the two diagnostics)
+TRACE_ROWS = ("Ix_sea", "Iy_sea", "Iz_sea", "Iz_R", "Ix_R", "Iy_R", "state_norm", "energy")
+
 
 def eigh_host(H: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Eigendecomposition on the host CPU (complex dtypes are TPU-unsupported)."""
@@ -38,18 +56,32 @@ def eigh_host(H: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return w, V
 
 
-def _trace_chunk(w, r, V: Cplx, c: Cplx, k_block, eps_block, dims):
-    """site_xyz (n,3,Tc), norms (Tc,), <H> (Tc,) for one block of times."""
+def _states_chunk(w, r, V: Cplx, c: Cplx, k_block, eps_block) -> Cplx:
     ph_re, ph_im = grid_expi_neg(r, k_block, w, eps_block)  # (dim, Tc)
     amp = Cplx(
         c.re[:, None] * ph_re - c.im[:, None] * ph_im,
         c.re[:, None] * ph_im + c.im[:, None] * ph_re,
     )
-    states = matmul(V, amp)  # (dim, Tc)
+    return matmul(V, amp), amp
+
+
+def _trace_chunk(w, r, V: Cplx, c: Cplx, k_block, eps_block, dims):
+    """Per-site xyz (n,3,Tc), norms (Tc,), <H> (Tc,) for one block of times."""
+    states, amp = _states_chunk(w, r, V, c, k_block, eps_block)
     xyz = site_xyz_expectations(states, dims)
     norms = state_norms(states)
     energy = jnp.sum(w[:, None] * amp.abs2(), axis=0)
     return xyz, norms, energy
+
+
+def _assembled_chunk(w, r, V, c, k_block, eps_block, dims, sea_mask, idx_rare):
+    """Named-observable rows (8, Tc) for one block (device-side assembly)."""
+    xyz, norms, energy = _trace_chunk(w, r, V, c, k_block, eps_block, dims)
+    sea = jnp.einsum("j,jot->ot", sea_mask, xyz)  # (3, Tc): Ix/Iy/Iz_sea
+    rare = xyz[idx_rare]  # (3, Tc): x, y, z
+    return jnp.stack(
+        [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms, energy]
+    )
 
 
 _trace_chunk_kernel = jax.jit(_trace_chunk, static_argnames=("dims",))
@@ -63,22 +95,151 @@ def _coeffs(V: Cplx, psi0: Cplx) -> Cplx:
 
 
 _coeffs_kernel = jax.jit(_coeffs)
+_batched_coeffs_kernel = jax.jit(jax.vmap(_coeffs))
+_flatten_kernel = jax.jit(lambda x: x.reshape(-1))
+
+
+@partial(jax.jit, static_argnames=("dims", "idx_rare"))
+def _batched_assembled_all_kernel(
+    w, r, V, c, sea_mask, k_chunks, eps_chunks, dims, idx_rare
+):
+    """All chunks, all sims, assembled rows: (n_chunks, B, 8, Tc)."""
+
+    def per_chunk(blocks):
+        kb, eb = blocks
+        fn = lambda wb, rb, Vb, cb, mb: _assembled_chunk(
+            wb, rb, Vb, cb, kb, eb, dims, mb, idx_rare
+        )
+        return jax.vmap(fn)(w, r, V, c, sea_mask)
+
+    return jax.lax.map(per_chunk, (k_chunks, eps_chunks))
 
 
 def default_time_chunk(dim: int, T: int, batch: int = 1) -> int:
-    """Bound the per-chunk states block.
+    """Bound the per-chunk states block (~32 MB of f64 pairs).
 
-    The budget is deliberately small (~64 MB of f64 pairs): on TPU the x64
-    rewriter expands f64 matmuls/einsums into multi-limb bf16/f32 passes with
-    ~10x temporary inflation and heavy fragmentation, so a 512 MB block OOMs
-    a 16 GB chip.  Override with QST_TCHUNK for experiments.
+    Deliberately small: the TPU x64 rewriter expands f64 matmuls/einsums into
+    multi-limb bf16/f32 passes with ~10x temporary inflation and heavy
+    fragmentation.  Override with QST_TCHUNK for experiments.
     """
-    import os
-
     env = os.environ.get("QST_TCHUNK")
     if env:
         return max(1, min(T, int(env)))
     return max(64, min(T, (1 << 22) // max(1, dim * batch)))
+
+
+def _pad_grid(times: np.ndarray, t_chunk: int):
+    T = len(times)
+    dt, eps = uniform_grid_decomposition(times)
+    n_chunks = int(np.ceil(T / t_chunk))
+    Tp = n_chunks * t_chunk
+    k_all = np.arange(T, dtype=np.float64)
+    k_pad = np.concatenate([k_all, np.full(Tp - T, k_all[-1])])
+    eps_pad = np.concatenate([eps, np.full(Tp - T, eps[-1])])
+    return dt, k_pad.reshape(n_chunks, t_chunk), eps_pad.reshape(n_chunks, t_chunk)
+
+
+def eig_traces_assembled_batched(
+    w: np.ndarray,  # (B, dim)
+    V: np.ndarray,  # (B, dim, dim) complex
+    psi0: np.ndarray,  # (B, dim) complex
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: np.ndarray,  # (B,) number of sites in the sea sums
+    idx_rare: int,
+    t_chunk: int | None = None,
+    device_put=None,
+) -> np.ndarray:
+    """Named-observable traces for a batch: returns (B, 8, T) float64.
+
+    Row order is TRACE_ROWS.  ``device_put`` optionally places inputs (used
+    by the dp-sharded path).
+    """
+    B, dim = w.shape
+    T = len(times)
+    n_sites = len(dims)
+    if t_chunk is None:
+        t_chunk = default_time_chunk(dim, T, batch=B)
+    dt, k_chunks, eps_chunks = _pad_grid(times, t_chunk)
+    r = np.stack([reduce_wdt_host(wb, dt) for wb in w])
+    sea_mask = (np.arange(n_sites)[None, :] < np.asarray(n_sea_effective)[:, None]).astype(
+        np.float64
+    )
+
+    if device_put is None:
+        device_put = lambda x, kind: jnp.asarray(x)
+    wd = device_put(w, "batch")
+    rd = device_put(r, "batch")
+    Vc = Cplx(device_put(V.real, "batch"), device_put(V.imag, "batch"))
+    psic = Cplx(device_put(psi0.real, "batch"), device_put(psi0.imag, "batch"))
+    mask_d = device_put(sea_mask, "batch")
+    c = _batched_coeffs_kernel(Vc, psic)
+
+    out = _batched_assembled_all_kernel(
+        wd, rd, Vc, c, mask_d,
+        device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
+        dims, idx_rare,
+    )
+    # Ship the result FLAT: the tunnel transfers N-D arrays one subarray at a
+    # time (measured 300 s vs 1.8 s for the same 50 MB); the (NC, B, 8, Tc)
+    # block is tiling-friendly (8 sublanes exactly), so the device-side
+    # flatten is a cheap relayout and the host transpose is free numpy.
+    n_chunks, Bk, _, Tc = out.shape
+    arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
+    traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
+    return traces
+
+
+def traces_dict(row_block: np.ndarray) -> dict[str, np.ndarray]:
+    """(8, T) assembled rows -> the reference's named trace dict (+energy)."""
+    return {name: row_block[i] for i, name in enumerate(TRACE_ROWS)}
+
+
+# ---------------------------------------------------------------------------
+# Per-site API (tests, custom observables) — single and batched.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("dims",))
+def _batched_trace_all_kernel(w, r, V, c, k_chunks, eps_chunks, dims):
+    def per_chunk(blocks):
+        kb, eb = blocks
+        fn = lambda wb, rb, Vb, cb: _trace_chunk(wb, rb, Vb, cb, kb, eb, dims)
+        return jax.vmap(fn)(w, r, V, c)
+
+    return jax.lax.map(per_chunk, (k_chunks, eps_chunks))
+
+
+def eig_propagate_traces_batched(
+    w: np.ndarray,
+    V: np.ndarray,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    t_chunk: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Batched per-site traces: site_xyz (B, n, 3, T), norm (B, T), energy (B, T)."""
+    B, dim = w.shape
+    T = len(times)
+    if t_chunk is None:
+        t_chunk = default_time_chunk(dim, T, batch=B)
+    dt, k_chunks, eps_chunks = _pad_grid(times, t_chunk)
+    r = np.stack([reduce_wdt_host(wb, dt) for wb in w])
+
+    Vc = Cplx.from_numpy(V)
+    wd = jnp.asarray(w)
+    c = _batched_coeffs_kernel(Vc, Cplx.from_numpy(psi0))
+    xyz, norms, energy = _batched_trace_all_kernel(
+        wd, jnp.asarray(r), Vc, c, jnp.asarray(k_chunks), jnp.asarray(eps_chunks), dims
+    )
+    nc, _, n_sites, _, Tc = xyz.shape
+    xyz = np.asarray(_flatten_kernel(xyz)).reshape(nc, B, n_sites, 3, Tc)
+    norms = np.asarray(_flatten_kernel(norms)).reshape(nc, B, Tc)
+    energy = np.asarray(_flatten_kernel(energy)).reshape(nc, B, Tc)
+    return {
+        "site_xyz": np.moveaxis(xyz, 0, 3).reshape(B, n_sites, 3, -1)[..., :T],
+        "norm": np.moveaxis(norms, 0, 1).reshape(B, -1)[:, :T],
+        "energy": np.moveaxis(energy, 0, 1).reshape(B, -1)[:, :T],
+    }
 
 
 def eig_propagate_traces(
@@ -89,81 +250,12 @@ def eig_propagate_traces(
     dims: tuple[int, ...],
     t_chunk: int | None = None,
 ) -> dict[str, np.ndarray]:
-    """Full observable traces for one simulation.
-
-    Returns {'site_xyz': (n_sites, 3, T), 'norm': (T,), 'energy': (T,)}.
-    """
-    dim = int(np.prod(dims))
-    T = len(times)
-    if t_chunk is None:
-        t_chunk = default_time_chunk(dim, T)
-    dt, eps = uniform_grid_decomposition(times)
-    r = jnp.asarray(reduce_wdt_host(w, dt))
-    k_all = np.arange(T, dtype=np.float64)
-
-    Vc = Cplx.from_numpy(V)
-    wd = jnp.asarray(w)
-    c = _coeffs_kernel(Vc, Cplx.from_numpy(psi0))
-
-    xyz_parts, norm_parts, energy_parts = [], [], []
-    for start in range(0, T, t_chunk):
-        kb = jnp.asarray(k_all[start : start + t_chunk])
-        eb = jnp.asarray(eps[start : start + t_chunk])
-        xyz, norms, energy = _trace_chunk_kernel(wd, r, Vc, c, kb, eb, dims)
-        xyz_parts.append(np.asarray(xyz))
-        norm_parts.append(np.asarray(norms))
-        energy_parts.append(np.asarray(energy))
+    """Per-site traces for one simulation: site_xyz (n, 3, T), norm, energy."""
+    out = eig_propagate_traces_batched(
+        w[None, :], V[None, :, :], psi0[None, :], times, dims, t_chunk=t_chunk
+    )
     return {
-        "site_xyz": np.concatenate(xyz_parts, axis=-1),
-        "norm": np.concatenate(norm_parts),
-        "energy": np.concatenate(energy_parts),
-    }
-
-
-# ---------------------------------------------------------------------------
-# Batched variant: many Hamiltonians (sweep points / variants) on one chip.
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("dims",))
-def _batched_trace_chunk_kernel(w, r, V, c, k_block, eps_block, dims):
-    fn = lambda wb, rb, Vb, cb: _trace_chunk(wb, rb, Vb, cb, k_block, eps_block, dims)
-    return jax.vmap(fn)(w, r, V, c)
-
-
-_batched_coeffs_kernel = jax.jit(jax.vmap(_coeffs))
-
-
-def eig_propagate_traces_batched(
-    w: np.ndarray,  # (B, dim)
-    V: np.ndarray,  # (B, dim, dim) complex
-    psi0: np.ndarray,  # (B, dim) complex
-    times: np.ndarray,
-    dims: tuple[int, ...],
-    t_chunk: int | None = None,
-) -> dict[str, np.ndarray]:
-    """Batched traces: site_xyz (B, n, 3, T), norm (B, T), energy (B, T)."""
-    B, dim = w.shape
-    T = len(times)
-    if t_chunk is None:
-        t_chunk = default_time_chunk(dim, T, batch=B)
-    dt, eps = uniform_grid_decomposition(times)
-    r = jnp.asarray(np.stack([reduce_wdt_host(wb, dt) for wb in w]))
-    k_all = np.arange(T, dtype=np.float64)
-
-    Vc = Cplx.from_numpy(V)
-    wd = jnp.asarray(w)
-    c = _batched_coeffs_kernel(Vc, Cplx.from_numpy(psi0))
-
-    xyz_parts, norm_parts, energy_parts = [], [], []
-    for start in range(0, T, t_chunk):
-        kb = jnp.asarray(k_all[start : start + t_chunk])
-        eb = jnp.asarray(eps[start : start + t_chunk])
-        xyz, norms, energy = _batched_trace_chunk_kernel(wd, r, Vc, c, kb, eb, dims)
-        xyz_parts.append(np.asarray(xyz))
-        norm_parts.append(np.asarray(norms))
-        energy_parts.append(np.asarray(energy))
-    return {
-        "site_xyz": np.concatenate(xyz_parts, axis=-1),
-        "norm": np.concatenate(norm_parts, axis=-1),
-        "energy": np.concatenate(energy_parts, axis=-1),
+        "site_xyz": out["site_xyz"][0],
+        "norm": out["norm"][0],
+        "energy": out["energy"][0],
     }

@@ -27,11 +27,17 @@ from ..models.params import DipolarRareParams
 from .eig_propagator import eig_propagate_traces, eigh_host
 from .observables import assemble_traces
 
-_EIG_MAX_DIM = 4096
+_EIG_MAX_DIM = 8192
 
 
 def _auto_method(dim: int) -> str:
-    return "eig" if dim <= _EIG_MAX_DIM else "expm"
+    # eig: host eigendecomposition is exact and amortizes over the whole
+    #   trace; on a small host CPU it costs ~minutes at dim 8192 but beats
+    #   every stepping scheme for 30 s horizons (||H||*t ~ 1e8 rad).
+    # krylov: matrix-free beyond dense reach (and the sharded-state path).
+    # expm: opt-in only — square f64 matmuls exceed 16 GB HBM at dim 8192
+    #   under the TPU x64 rewriter's limb expansion.
+    return "eig" if dim <= _EIG_MAX_DIM else "krylov"
 
 
 def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.ndarray]]:

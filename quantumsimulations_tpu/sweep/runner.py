@@ -43,8 +43,7 @@ from ..artifacts.writer import (
     save_trace_npz,
     write_sweep_csv,
 )
-from ..dynamics.eig_propagator import eig_propagate_traces_batched, eigh_host
-from ..dynamics.observables import assemble_traces
+from ..dynamics.eig_propagator import eigh_host
 from ..models.dipolar import build_model
 from ..models.geometry import (
     coupling_statistics,
@@ -52,6 +51,7 @@ from ..models.geometry import (
     shell_positions_with_rare_center,
 )
 from ..models.params import DipolarRareParams, get_derived_frequencies
+from ..utils.profiling import StageTimer
 
 TAGS = ("center_off", "center_on", "shell_off")
 
@@ -59,8 +59,16 @@ TAGS = ("center_off", "center_on", "shell_off")
 _MAX_BATCH_BYTES = 2 << 30
 
 
-def _solve_group(models, times, log=print) -> list[dict[str, np.ndarray]]:
-    """Batched exact solve for models sharing identical Hilbert dims."""
+def _solve_group(models, times, log=print, mesh=None) -> list[dict[str, np.ndarray]]:
+    """Batched exact solve for models sharing identical Hilbert dims.
+
+    Returns one reference-named trace dict per model (observables assembled
+    ON DEVICE — the tunnel's device->host bandwidth is the scarce resource).
+    With ``mesh`` given, the batch is data-parallel sharded over its 'dp'
+    axis (parallel/sweep_shard.py); otherwise everything runs on one chip.
+    """
+    from ..dynamics.eig_propagator import eig_traces_assembled_batched, traces_dict
+
     dims = models[0].dims
     dim = int(np.prod(dims))
     B = len(models)
@@ -75,26 +83,29 @@ def _solve_group(models, times, log=print) -> list[dict[str, np.ndarray]]:
             ws.append(w)
             Vs.append(V)
         t1 = time.perf_counter()
-        batched = eig_propagate_traces_batched(
-            np.stack(ws),
-            np.stack(Vs),
-            np.stack([m.psi0 for m in grp]),
-            times,
-            dims,
+        kwargs = dict(
+            times=times,
+            dims=dims,
+            n_sea_effective=np.asarray([m.n_sea_effective for m in grp]),
+            idx_rare=grp[0].idx_rare,
         )
+        if mesh is not None:
+            from ..parallel.sweep_shard import eig_traces_assembled_sharded
+
+            rows = eig_traces_assembled_sharded(
+                np.stack(ws), np.stack(Vs), np.stack([m.psi0 for m in grp]),
+                mesh=mesh, **kwargs,
+            )
+        else:
+            rows = eig_traces_assembled_batched(
+                np.stack(ws), np.stack(Vs), np.stack([m.psi0 for m in grp]), **kwargs
+            )
         t2 = time.perf_counter()
         log(
             f"  [solve] {len(grp)} sims (dim {dim}): "
             f"eigh {t1 - t0:.2f}s host, traces {t2 - t1:.2f}s device",
         )
-        for i in range(len(grp)):
-            outs.append(
-                {
-                    "site_xyz": batched["site_xyz"][i],
-                    "norm": batched["norm"][i],
-                    "energy": batched["energy"][i],
-                }
-            )
+        outs.extend(traces_dict(rows[i]) for i in range(len(grp)))
     return outs
 
 
@@ -122,6 +133,7 @@ def run_sweep_sea_detuning(
     make_plots: bool = True,
     resume: bool = False,
     base_dir: Optional[str] = None,
+    mesh=None,
 ) -> str:
     """Run a sweep over sea detunings δ_A = f_Az - f_rf,A.  Returns base_dir.
 
@@ -222,6 +234,7 @@ def run_sweep_sea_detuning(
     print("------------------------------------------------------------", flush=True)
 
     times = np.linspace(0.0, t_final, steps)
+    timer = StageTimer()
 
     # -------- build all variant params / models --------
     def variant_params(delta_Hz: float) -> dict[str, DipolarRareParams]:
@@ -276,21 +289,23 @@ def run_sweep_sea_detuning(
 
     # group (detuning, tag) sims by Hilbert dims for batching
     sims = []  # (idx, tag, params, model)
-    for idx, delta_Hz in todo:
-        pv = variant_params(delta_Hz)
-        for tag in TAGS:
-            sims.append((idx, tag, pv[tag], build_model(pv[tag])))
+    with timer.stage("build_models"):
+        for idx, delta_Hz in todo:
+            pv = variant_params(delta_Hz)
+            for tag in TAGS:
+                sims.append((idx, tag, pv[tag], build_model(pv[tag])))
 
     solved: dict[tuple[int, str], dict] = {}
     by_dims: dict[tuple[int, ...], list[int]] = {}
     for i, (_, _, _, m) in enumerate(sims):
         by_dims.setdefault(m.dims, []).append(i)
     t_solve0 = time.perf_counter()
-    for dims_key, sim_ids in by_dims.items():
-        outs = _solve_group([sims[i][3] for i in sim_ids], times)
-        for i, out in zip(sim_ids, outs):
-            idx, tag, _, _ = sims[i]
-            solved[(idx, tag)] = out
+    with timer.stage("solve"):
+        for dims_key, sim_ids in by_dims.items():
+            outs = _solve_group([sims[i][3] for i in sim_ids], times, mesh=mesh)
+            for i, out in zip(sim_ids, outs):
+                idx, tag, _, _ = sims[i]
+                solved[(idx, tag)] = out
     solve_wall = time.perf_counter() - t_solve0
     n_solved = len(sims)
     if n_solved:
@@ -354,11 +369,8 @@ def run_sweep_sea_detuning(
             traces: dict[str, dict[str, np.ndarray]] = {}
             for tag in TAGS:
                 params_tag = pv[tag]
-                model = build_model(params_tag)
-                out = solved[(idx, tag)]
-                tr = assemble_traces(
-                    out["site_xyz"], out["norm"], model.n_sea_effective, model.idx_rare
-                )
+                tr = dict(solved[(idx, tag)])
+                tr.pop("energy", None)  # diagnostic; not part of the NPZ contract
                 traces[tag] = tr
                 save_trace_npz(det_dir, tag, times, tr)
                 save_params_and_freqs(det_dir, tag, params_tag, get_derived_frequencies(params_tag))
@@ -438,6 +450,7 @@ def run_sweep_sea_detuning(
     json_dump(os.path.join(base_dir, "global_params.json"), global_params)
     json_dump(os.path.join(base_dir, "summary.json"), summary)
     write_sweep_csv(base_dir, summary["sweep_results"])
+    timer.dump(os.path.join(base_dir, "timings.json"))
 
     print("------------------------------------------------------------")
     print("Sweep complete.")

@@ -17,7 +17,7 @@ from quantumsimulations_tpu.models.params import DipolarRareParams
 from quantumsimulations_tpu.ops.cplx import Cplx
 from quantumsimulations_tpu.parallel.mesh import make_mesh
 from quantumsimulations_tpu.parallel.state_sharded import make_sharded_apply
-from quantumsimulations_tpu.parallel.sweep_shard import eig_propagate_traces_sharded
+from quantumsimulations_tpu.parallel.sweep_shard import eig_traces_assembled_sharded
 
 requires_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
@@ -140,6 +140,10 @@ def test_sharded_krylov_step_matches_unsharded():
 @requires_8
 @pytest.mark.parametrize("batch", [4, 6])  # 6 tests padding (8 devices, dp=8)
 def test_dp_sharded_sweep_matches_unsharded(batch):
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+    )
+
     mesh = make_mesh(8, sp=1)
     params = [
         _params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * (500.0 * (i + 1)))
@@ -152,9 +156,44 @@ def test_dp_sharded_sweep_matches_unsharded(batch):
     V = np.stack(Vs)
     psi0 = np.stack([m.psi0 for m in models])
     dims = models[0].dims
+    nse = np.asarray([m.n_sea_effective for m in models])
+    idx_rare = models[0].idx_rare
 
-    plain = eig_propagate_traces_batched(w, V, psi0, t, dims)
-    sharded = eig_propagate_traces_sharded(w, V, psi0, t, dims, mesh)
-    assert sharded["site_xyz"].shape == plain["site_xyz"].shape
-    assert np.allclose(sharded["site_xyz"], plain["site_xyz"], atol=1e-12)
-    assert np.allclose(sharded["norm"], plain["norm"], atol=1e-12)
+    plain = eig_traces_assembled_batched(w, V, psi0, t, dims, nse, idx_rare)
+    sharded = eig_traces_assembled_sharded(
+        w, V, psi0, t, dims, nse, idx_rare, mesh
+    )
+    assert sharded.shape == plain.shape == (batch, 8, len(t))
+    assert np.allclose(sharded, plain, atol=1e-12)
+    # norm row is exactly 1
+    assert np.allclose(plain[:, 6, :], 1.0, atol=1e-11)
+
+
+@requires_8
+def test_assembled_rows_match_per_site_assembly():
+    """Device-side assembly equals host-side assembly from per-site traces."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+        eig_propagate_traces_batched,
+        TRACE_ROWS,
+    )
+    from quantumsimulations_tpu.dynamics.observables import assemble_traces
+
+    params = [_params(), _params(drive_rare=False, is_center_rare=False)]
+    models = [build_model(p) for p in params]
+    t = np.linspace(0.0, params[0].t_final, params[0].steps)
+    ws, Vs = zip(*[eigh_host(m.hamiltonian.to_dense()) for m in models])
+    w, V = np.stack(ws), np.stack(Vs)
+    psi0 = np.stack([m.psi0 for m in models])
+    dims = models[0].dims
+    nse = np.asarray([m.n_sea_effective for m in models])
+
+    rows = eig_traces_assembled_batched(w, V, psi0, t, dims, nse, models[0].idx_rare)
+    per_site = eig_propagate_traces_batched(w, V, psi0, t, dims)
+    for b, m in enumerate(models):
+        named = assemble_traces(
+            per_site["site_xyz"][b], per_site["norm"][b], m.n_sea_effective, m.idx_rare
+        )
+        for i, key in enumerate(TRACE_ROWS[:7]):
+            want = named["state_norm" if key == "state_norm" else key]
+            assert np.allclose(rows[b, i], want, atol=1e-12), key
