@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model the rare spin as J=3/2 (coherent, unlike the reference)")
     p.add_argument("--coarse-window", type=int, default=100)
     p.add_argument("--solver", default="auto",
-                   choices=("auto", "eig", "expm", "krylov", "dopri"))
+                   choices=("auto", "eig", "eig32", "expm", "krylov", "dopri"))
     p.add_argument("--atol", type=float, default=1e-10)
     p.add_argument("--rtol", type=float, default=1e-9)
     p.add_argument("--nsteps", type=int, default=10_000_000)

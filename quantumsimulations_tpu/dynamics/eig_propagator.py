@@ -84,6 +84,45 @@ def _assembled_chunk(w, r, V, c, k_block, eps_block, dims, sea_mask, idx_rare):
     )
 
 
+# ---------------------------------------------------------------------------
+# f32 speed mode: Pallas fused complex matmul + f32 observables (~1e-5
+# accuracy — exploratory sweeps; the parity path stays f64).
+# ---------------------------------------------------------------------------
+
+def _assembled_chunk32(w, r, V32: Cplx, c, k_block, eps_block, dims, sea_mask, idx_rare, interpret: bool):
+    from ..ops.pallas_kernels import cmatmul_f32
+
+    ph_re, ph_im = grid_expi_neg(r, k_block, w, eps_block)  # f64 (dim, Tc)
+    amp_re = (c.re[:, None] * ph_re - c.im[:, None] * ph_im).astype(jnp.float32)
+    amp_im = (c.re[:, None] * ph_im + c.im[:, None] * ph_re).astype(jnp.float32)
+    s_re, s_im = cmatmul_f32(V32.re, V32.im, amp_re, amp_im, interpret=interpret)
+    states = Cplx(s_re, s_im)
+    xyz = site_xyz_expectations(states, dims)
+    norms = state_norms(states)
+    energy = jnp.sum(
+        w[:, None].astype(jnp.float32) * (amp_re * amp_re + amp_im * amp_im), axis=0
+    )
+    sea = jnp.einsum("j,jot->ot", sea_mask.astype(jnp.float32), xyz)
+    rare = xyz[idx_rare]
+    return jnp.stack(
+        [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms, energy]
+    ).astype(jnp.float64)
+
+
+@partial(jax.jit, static_argnames=("dims", "idx_rare", "interpret"))
+def _batched_assembled_all_kernel32(
+    w, r, V32, c, sea_mask, k_chunks, eps_chunks, dims, idx_rare, interpret
+):
+    def per_chunk(blocks):
+        kb, eb = blocks
+        fn = lambda wb, rb, Vb, cb, mb: _assembled_chunk32(
+            wb, rb, Vb, cb, kb, eb, dims, mb, idx_rare, interpret
+        )
+        return jax.vmap(fn)(w, r, V32, c, sea_mask)
+
+    return jax.lax.map(per_chunk, (k_chunks, eps_chunks))
+
+
 _trace_chunk_kernel = jax.jit(_trace_chunk, static_argnames=("dims",))
 
 
@@ -188,6 +227,50 @@ def eig_traces_assembled_batched(
     arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
     traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
     return traces
+
+
+def eig_traces_assembled_batched32(
+    w: np.ndarray,
+    V: np.ndarray,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: np.ndarray,
+    idx_rare: int,
+    t_chunk: int | None = None,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """f32 speed mode of the assembled traces (Pallas fused complex matmul).
+
+    ~1e-5 observable accuracy; roughly half the memory/bandwidth of the f64
+    path and native (non-emulated) MXU matmuls.  ``interpret`` defaults to
+    True off-TPU so the same code runs in CI.
+    """
+    B, dim = w.shape
+    T = len(times)
+    n_sites = len(dims)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if t_chunk is None:
+        t_chunk = default_time_chunk(dim, T, batch=B) * 2  # f32: half the bytes
+    dt, k_chunks, eps_chunks = _pad_grid(times, t_chunk)
+    r = np.stack([reduce_wdt_host(wb, dt) for wb in w])
+    sea_mask = (np.arange(n_sites)[None, :] < np.asarray(n_sea_effective)[:, None]).astype(
+        np.float64
+    )
+    V32 = Cplx(
+        jnp.asarray(V.real, jnp.float32), jnp.asarray(V.imag, jnp.float32)
+    )
+    c = _batched_coeffs_kernel(
+        Cplx.from_numpy(V), Cplx.from_numpy(psi0)
+    )
+    out = _batched_assembled_all_kernel32(
+        jnp.asarray(w), jnp.asarray(r), V32, c, jnp.asarray(sea_mask),
+        jnp.asarray(k_chunks), jnp.asarray(eps_chunks), dims, idx_rare, interpret,
+    )
+    n_chunks, Bk, _, Tc = out.shape
+    arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
+    return np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
 
 
 def traces_dict(row_block: np.ndarray) -> dict[str, np.ndarray]:

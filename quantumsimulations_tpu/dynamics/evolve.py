@@ -54,10 +54,23 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
     if method == "auto":
         method = _auto_method(dim)
 
-    if method == "eig":
+    if method in ("eig", "eig32"):
+        from .eig_propagator import (
+            eig_traces_assembled_batched,
+            eig_traces_assembled_batched32,
+            traces_dict,
+        )
+
         H = model.hamiltonian.to_dense()
         w, V = eigh_host(H)
-        out = eig_propagate_traces(w, V, model.psi0, t, dims)
+        fn = eig_traces_assembled_batched32 if method == "eig32" else eig_traces_assembled_batched
+        rows = fn(
+            w[None], V[None], model.psi0[None], t, dims,
+            np.asarray([model.n_sea_effective]), model.idx_rare,
+        )
+        named = traces_dict(rows[0])
+        named.pop("energy", None)
+        return t, named
     elif method == "expm":
         from .expm_propagator import expm_propagate_traces
 

@@ -59,7 +59,7 @@ TAGS = ("center_off", "center_on", "shell_off")
 _MAX_BATCH_BYTES = 2 << 30
 
 
-def _solve_group(models, times, log=print, mesh=None) -> list[dict[str, np.ndarray]]:
+def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> list[dict[str, np.ndarray]]:
     """Batched exact solve for models sharing identical Hilbert dims.
 
     Returns one reference-named trace dict per model (observables assembled
@@ -67,7 +67,17 @@ def _solve_group(models, times, log=print, mesh=None) -> list[dict[str, np.ndarr
     With ``mesh`` given, the batch is data-parallel sharded over its 'dp'
     axis (parallel/sweep_shard.py); otherwise everything runs on one chip.
     """
-    from ..dynamics.eig_propagator import eig_traces_assembled_batched, traces_dict
+    from ..dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+        eig_traces_assembled_batched32,
+        traces_dict,
+    )
+
+    solve_fn = (
+        eig_traces_assembled_batched32
+        if solver_method == "eig32"
+        else eig_traces_assembled_batched
+    )
 
     dims = models[0].dims
     dim = int(np.prod(dims))
@@ -97,7 +107,7 @@ def _solve_group(models, times, log=print, mesh=None) -> list[dict[str, np.ndarr
                 mesh=mesh, **kwargs,
             )
         else:
-            rows = eig_traces_assembled_batched(
+            rows = solve_fn(
                 np.stack(ws), np.stack(Vs), np.stack([m.psi0 for m in grp]), **kwargs
             )
         t2 = time.perf_counter()
@@ -302,7 +312,10 @@ def run_sweep_sea_detuning(
     t_solve0 = time.perf_counter()
     with timer.stage("solve"):
         for dims_key, sim_ids in by_dims.items():
-            outs = _solve_group([sims[i][3] for i in sim_ids], times, mesh=mesh)
+            outs = _solve_group(
+                [sims[i][3] for i in sim_ids], times, mesh=mesh,
+                solver_method=solver_method,
+            )
             for i, out in zip(sim_ids, outs):
                 idx, tag, _, _ = sims[i]
                 solved[(idx, tag)] = out

@@ -154,3 +154,18 @@ def test_dopri_time_dependent_rabi():
     assert np.allclose(got_z, want_z, atol=5e-8)
     # the drive actually does something
     assert want_z.min() < 0.45
+
+
+def test_eig32_speed_mode_close_to_f64():
+    """f32 speed mode (Pallas fused matmul, interpret off-TPU): ~1e-4 accuracy."""
+    from quantumsimulations_tpu.dynamics.evolve import simulate_rare as sim
+
+    p64 = _params(t_final=2.0e-4, steps=41)
+    import dataclasses
+
+    p32 = dataclasses.replace(p64, solver_method="eig32")
+    t, ref = sim(dataclasses.replace(p64, solver_method="eig"))
+    t2, fast = sim(p32)
+    for key in ("Iz_sea", "Iz_R", "Ix_R"):
+        assert np.allclose(fast[key], ref[key], atol=2e-4), key
+    assert np.allclose(fast["state_norm"], 1.0, atol=1e-4)
