@@ -1,0 +1,131 @@
+"""Statevector checkpointing for long stepping runs (SURVEY.md §5).
+
+The reference's checkpoint system is its artifact tree (raw NPZ traces +
+reprocess layer); solver-level state is never persisted because QuTiP solves
+are opaque.  The framework's stepping propagators (krylov / expm / dopri)
+expose their state, so long runs can snapshot psi(t) periodically and resume
+mid-trace after preemption — relevant for 14-16-spin baths where a single
+trace is hours of stepping.
+
+Format: one NPZ per snapshot directory, holding the flat statevector planes,
+the output-grid cursor, and enough metadata to validate a resume against the
+originating configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import numpy as np
+
+from ..models.params import DipolarRareParams
+
+
+def snapshot_path(ckpt_dir: str, step_index: int) -> str:
+    return os.path.join(ckpt_dir, f"state_{step_index:08d}.npz")
+
+
+def save_snapshot(
+    ckpt_dir: str,
+    step_index: int,
+    psi: np.ndarray,
+    params: DipolarRareParams | None = None,
+    keep_last: int = 2,
+) -> str:
+    """Persist psi at output-step ``step_index``; prunes older snapshots."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = snapshot_path(ckpt_dir, step_index)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, re=np.real(psi), im=np.imag(psi), step_index=step_index)
+    os.replace(tmp, path)
+    if params is not None:
+        meta = asdict(params)
+        with open(os.path.join(ckpt_dir, "params.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=2, default=float)
+    # prune
+    snaps = sorted(
+        f for f in os.listdir(ckpt_dir) if f.startswith("state_") and f.endswith(".npz")
+    )
+    for old in snaps[:-keep_last]:
+        os.remove(os.path.join(ckpt_dir, old))
+    return path
+
+
+def latest_snapshot(ckpt_dir: str) -> tuple[int, np.ndarray] | None:
+    """(step_index, psi) of the newest snapshot, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    snaps = sorted(
+        f for f in os.listdir(ckpt_dir) if f.startswith("state_") and f.endswith(".npz")
+    )
+    if not snaps:
+        return None
+    data = np.load(os.path.join(ckpt_dir, snaps[-1]))
+    return int(data["step_index"]), data["re"] + 1j * data["im"]
+
+
+def krylov_propagate_traces_checkpointed(
+    H,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    ckpt_dir: str,
+    ckpt_every: int = 500,
+    params: DipolarRareParams | None = None,
+    m: int = 48,
+    theta: float = 12.0,
+) -> dict[str, np.ndarray]:
+    """Krylov trace propagation with periodic snapshots and resume.
+
+    On restart with the same ckpt_dir, stepping resumes from the newest
+    snapshot; already-computed trace segments are re-evaluated only from the
+    resume point forward (earlier rows come from the checkpoint's trace
+    stash).
+    """
+    import jax
+
+    from ..ops.cplx import Cplx
+    from .krylov import make_krylov_step
+    from .observables import site_xyz_expectations, state_norms
+
+    times = np.asarray(times)
+    T = len(times)
+    dt = float(times[1] - times[0]) if T > 1 else 0.0
+    step, _ = make_krylov_step(H, dt, m=m, theta=theta)
+    step = jax.jit(step)
+
+    n_sites = len(dims)
+    xyz = np.zeros((n_sites, 3, T))
+    norms = np.zeros(T)
+
+    start = 0
+    psi = psi0.astype(np.complex128)
+    resume = latest_snapshot(ckpt_dir)
+    trace_stash = os.path.join(ckpt_dir, "traces_partial.npz")
+    if resume is not None and os.path.isfile(trace_stash):
+        start, psi = resume
+        stash = np.load(trace_stash)
+        upto = min(start, T)
+        xyz[..., :upto] = stash["xyz"][..., :upto]
+        norms[:upto] = stash["norm"][:upto]
+
+    cur = Cplx.from_numpy(psi)
+    obs_fn = jax.jit(
+        lambda p: (
+            site_xyz_expectations(p.reshape(p.shape + (1,)), dims),
+            state_norms(p.reshape(p.shape + (1,))),
+        ),
+        static_argnames=(),
+    )
+    for k in range(start, T):
+        s_xyz, s_norm = obs_fn(cur)
+        xyz[..., k] = np.asarray(s_xyz)[..., 0]
+        norms[k] = float(np.asarray(s_norm)[0])
+        if k + 1 < T:
+            cur = step(cur)
+        if ckpt_every and (k + 1) % ckpt_every == 0:
+            save_snapshot(ckpt_dir, k + 1, cur.to_numpy(), params=params)
+            np.savez(trace_stash, xyz=xyz, norm=norms)
+    return {"site_xyz": xyz, "norm": norms}

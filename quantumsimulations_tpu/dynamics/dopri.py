@@ -140,7 +140,11 @@ def _dopri_integrate(psi0: Cplx, t_out, atol, rtol, max_step, rhs, dims, n_out):
 
     def cond(carry):
         t, psi, h, k, outs, out_idx, n_acc, n_rej = carry
-        return (out_idx < n_out) & (t < t_end) & (n_acc + n_rej < 100_000_000)
+        # the step cap guards against step-size collapse (e.g. a Hamiltonian
+        # whose frequencies are incompatible with the horizon): the loop
+        # exits and the unfilled tail of the trace stays at its zero
+        # initialization, with n_accepted/n_rejected exposing the stall
+        return (out_idx < n_out) & (t < t_end) & (n_acc + n_rej < 20_000_000)
 
     def body(carry):
         t, psi, h, k, outs, out_idx, n_acc, n_rej = carry

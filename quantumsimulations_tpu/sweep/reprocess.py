@@ -42,7 +42,13 @@ def find_sweep_dirs(root: str) -> list[str]:
 
 def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False) -> str:
     """Recompute slope/contrast/eta metrics for one sweep dir; returns the
-    path of the written summary JSON."""
+    path of the written summary JSON.
+
+    With ``make_plots`` the full report PDF is regenerated — the same four
+    per-point plot pages the sweep itself writes, plus the summary table and
+    contrast-vs-eta pages (the reference reprocessor regenerates its full
+    PDF the same way, reprocess_sweep_results.py:436-786).
+    """
     with open(os.path.join(sweep_dir, "summary.json"), "r", encoding="utf-8") as f:
         summary = json.load(f)
     gp = summary.get("global_params", {})
@@ -50,6 +56,16 @@ def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False
     f1R = float(gp.get("f1R_Hz", float("nan")))
     rms_b_AR = float(gp.get("rms_b_AR_Hz", float("nan")))
     window = coarse_window if coarse_window > 0 else int(gp.get("coarse_window", 100))
+
+    pdf = None
+    suffix = f"_win{window}" if coarse_window > 0 else ""
+    if make_plots:
+        from matplotlib.backends.backend_pdf import PdfPages
+
+        from ..artifacts import report as rpt
+
+        pdf_path = os.path.join(sweep_dir, f"reprocessed{suffix}_report.pdf")
+        pdf = PdfPages(pdf_path)
 
     new_rows: list[dict[str, Any]] = []
     rows = sorted(summary.get("sweep_results", []), key=lambda r: r.get("delta_Hz", 0.0))
@@ -85,6 +101,21 @@ def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False
         eta = eta_mismatch(delta_Hz, f1A, f1R, rms_b_AR)
         d_slope = slope_on["I_z_slope"] - slope_off["I_z_slope"]
 
+        if pdf is not None:
+            from ..artifacts import report as rpt
+
+            rpt.raw_iz_page(pdf, det_dir, delta_Hz, t_off, obs_off["Iz_sea"],
+                            t_on, obs_on["Iz_sea"])
+            rpt.envelopes_center_page(
+                pdf, det_dir, delta_Hz, t_c_off, iz_c_off, t_c_on, iz_c_on,
+                slope_off, slope_on, contrast_rare, eta["DeltaOmega_over_geff"],
+            )
+            rpt.envelopes_sea_center_page(
+                pdf, det_dir, delta_Hz, t_c_sc, iz_c_sc, slope_sc, contrast_sea
+            )
+            rpt.norm_page(pdf, det_dir, delta_Hz,
+                          t_off, obs_off["state_norm"], t_on, obs_on["state_norm"])
+
         new_rows.append(
             {
                 "delta_Hz": delta_Hz,
@@ -112,17 +143,13 @@ def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False
         "global_params": {**gp, "coarse_window_reprocessed": window},
         "sweep_results": new_rows,
     }
-    suffix = f"_win{window}" if coarse_window > 0 else ""
     out_path = os.path.join(sweep_dir, f"summary_reprocessed{suffix}.json")
     json_dump(out_path, out)
 
-    if make_plots:
-        from matplotlib.backends.backend_pdf import PdfPages
-
+    if pdf is not None:
         from ..artifacts import report as rpt
 
-        pdf_path = os.path.join(sweep_dir, f"reprocessed{suffix}_report.pdf")
-        with PdfPages(pdf_path) as pdf:
-            rpt.summary_table_page(pdf, new_rows)
-            rpt.contrast_vs_eta_page(pdf, sweep_dir, new_rows)
+        rpt.summary_table_page(pdf, new_rows)
+        rpt.contrast_vs_eta_page(pdf, sweep_dir, new_rows)
+        pdf.close()
     return out_path
