@@ -56,12 +56,13 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
 
     if method in ("eig", "eig32"):
         from .eig_propagator import (
+            dense_matrix_host,
             eig_traces_assembled_batched,
             eig_traces_assembled_batched32,
             traces_dict,
         )
 
-        H = model.hamiltonian.to_dense()
+        H = dense_matrix_host(model.hamiltonian)
         w, V = eigh_host(H)
         fn = eig_traces_assembled_batched32 if method == "eig32" else eig_traces_assembled_batched
         rows = fn(

@@ -110,6 +110,156 @@ def _matrix_power(U: Cplx, p: int) -> Cplx:
     return result
 
 
+# ---------------------------------------------------------------------------
+# Limb-decomposed (Ozaki) path: f64-precision square matmuls from bf16 MXU
+# passes — the ONLY way to build a dim-8192 step operator on this chip (XLA's
+# own f64 matmul emulation OOMs; a host eigh takes ~an hour on 1 core).
+# ---------------------------------------------------------------------------
+
+def _ozaki_expm(H: OperatorSum, dt: float):
+    """U = exp(-i H dt) via Taylor + scaling-squaring on limb matmuls.
+
+    Python-driven loop: each product is one jitted limb-matmul program
+    (compiled once per shape), avoiding a single monster program that stalls
+    the remote compiler.
+    """
+    from ..ops.extprec import cmatmul_f64
+
+    Hd = H.to_dense_device()  # seconds on device vs ~15 min host kron at dim 8192
+    dim = Hd.shape[0]
+    norm = spectral_norm_bound(H)
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _TAYLOR_THETA))))
+    dt_s = dt / (2**n_sq)
+    # A = -i H dt_s
+    Are = Hd.im * dt_s
+    Aim = -Hd.re * dt_s
+
+    eye = jnp.eye(dim)
+    zero = jnp.zeros((dim, dim))
+    acc_re, acc_im = eye, zero
+    for k in range(_TAYLOR_DEGREE, 0, -1):
+        cre, cim = cmatmul_f64(Are, Aim, acc_re, acc_im)
+        acc_re = eye + cre * (1.0 / k)
+        acc_im = cim * (1.0 / k)
+    for _ in range(n_sq):
+        acc_re, acc_im = cmatmul_f64(acc_re, acc_im, acc_re, acc_im)
+    return Cplx(acc_re, acc_im)
+
+
+def _cpower_ozaki(U: Cplx, p: int) -> Cplx:
+    from ..ops.extprec import cmatmul_f64
+
+    result = None
+    base = U
+    while p > 0:
+        if p & 1:
+            if result is None:
+                result = base
+            else:
+                re, im = cmatmul_f64(result.re, result.im, base.re, base.im)
+                result = Cplx(re, im)
+        p >>= 1
+        if p:
+            re, im = cmatmul_f64(base.re, base.im, base.re, base.im)
+            base = Cplx(re, im)
+    return result
+
+
+def expm_traces_assembled_ozaki(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    block: int = 128,
+) -> np.ndarray:
+    """Assembled-observable rows (8, T) via the limb-matmul step operator.
+
+    The step operator's limbs are precomputed ONCE; each block advance is 78
+    bf16 MXU matmuls of (2*dim x dim) @ (dim x 2*block).  Identical row
+    layout to eig_traces_assembled_batched (TRACE_ROWS).
+    """
+    import jax
+
+    from ..ops.extprec import limbs_of, matmul_f64_prelimbed
+    from .eig_propagator import _flatten_kernel
+
+    times = np.asarray(times)
+    T = len(times)
+    dt = float(times[1] - times[0]) if T > 1 else 0.0
+    dim = int(np.prod(dims))
+    block = min(block, T)
+    n_blocks = int(np.ceil(T / block))
+
+    U = _ozaki_expm(H, dt)
+    UB = _cpower_ozaki(U, block)
+    # pre-limb the quadrant-stacked block operator [[Ur],[Ui]] (2*dim, dim)
+    UB2 = jnp.concatenate([UB.re, UB.im], axis=0)
+    UBl, UBs = limbs_of(UB2)
+    U2 = jnp.concatenate([U.re, U.im], axis=0)
+    Ul, Us = limbs_of(U2)
+
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+    hdiag = jnp.asarray(H.diagonal_part())
+
+    @jax.jit
+    def seed_block(p_re, p_im):
+        """[psi, U psi, ..., U^{B-1} psi] as (dim, B) by sequential U matvec."""
+        def body(carry, _):
+            pr, pi = carry
+            b2 = jnp.concatenate([pr[:, None], pi[:, None]], axis=1)  # (dim, 2)
+            c2 = matmul_f64_prelimbed(Ul, Us, b2)
+            nr = c2[:dim, 0] - c2[dim:, 1]
+            ni = c2[:dim, 1] + c2[dim:, 0]
+            return (nr, ni), (pr, pi)
+
+        (_, _), (rs, is_) = jax.lax.scan(body, (p_re, p_im), None, length=block)
+        return rs.T, is_.T  # (dim, B)
+
+    @jax.jit
+    def advance(S_re, S_im):
+        b2 = jnp.concatenate([S_re, S_im], axis=1)  # (dim, 2B)
+        c2 = matmul_f64_prelimbed(UBl, UBs, b2)
+        B = S_re.shape[1]
+        nr = c2[:dim, :B] - c2[dim:, B:]
+        ni = c2[:dim, B:] + c2[dim:, :B]
+        return nr, ni
+
+    # <H> is conserved under the (unitary) step operator; report the exact
+    # t=0 constant as the energy diagnostic row
+    p0c = Cplx(jnp.asarray(psi0.real), jnp.asarray(psi0.imag))
+    hp0 = H.apply(p0c, diag=hdiag)
+    e0 = jnp.sum(p0c.re * hp0.re + p0c.im * hp0.im)
+
+    @partial(jax.jit, static_argnames=("dims_", "idx_rare_"))
+    def rows_of(S_re, S_im, dims_, idx_rare_):
+        states = Cplx(S_re, S_im)
+        xyz = site_xyz_expectations(states, dims_)
+        norms = state_norms(states)
+        energy = jnp.full(S_re.shape[1], e0)
+        sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+        rare = xyz[idx_rare_]
+        return jnp.stack(
+            [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms, energy]
+        )
+
+    p_re = jnp.asarray(psi0.real)
+    p_im = jnp.asarray(psi0.imag)
+    S_re, S_im = seed_block(p_re, p_im)
+    parts = []
+    for _ in range(n_blocks):
+        parts.append(rows_of(S_re, S_im, dims, idx_rare))
+        S_re, S_im = advance(S_re, S_im)
+    stacked = jnp.stack(parts)  # (n_blocks, 8, B)
+    flat = np.asarray(_flatten_kernel(stacked))
+    rows = np.moveaxis(flat.reshape(n_blocks, 8, block), 0, 1).reshape(8, -1)[:, :T]
+    return rows
+
+
 def expm_propagate_traces(
     H: OperatorSum,
     psi0: np.ndarray,

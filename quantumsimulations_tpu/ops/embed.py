@@ -110,6 +110,34 @@ class OperatorSum:
     def to_dense_cplx(self, dtype=jnp.float64) -> Cplx:
         return Cplx.from_numpy(self.to_dense(), dtype=dtype)
 
+    def to_dense_device(self) -> Cplx:
+        """Assemble the dense matrix ON DEVICE as (re, im) planes.
+
+        Applies the matrix-free term machinery to an identity matrix (a batch
+        of basis columns).  At dim 8192 the host numpy kron assembly takes
+        tens of minutes on a small CPU; this runs in seconds of device
+        bandwidth.  Layout: out[:, j] = H @ e_j, i.e. the usual matrix.
+        """
+        import jax
+
+        dims = self.dims
+        dim = self.dim
+        diag = jnp.asarray(self.diagonal_part())
+        terms = self.offdiagonal_terms()
+
+        @jax.jit
+        def build():
+            out = Cplx(jnp.diag(diag), jnp.zeros((dim, dim)))
+            eye = Cplx(jnp.eye(dim), jnp.zeros((dim, dim)))
+            # columns as a trailing batch axis: (dims..., dim)
+            eye_t = eye.reshape(dims + (dim,))
+            for term in terms:
+                contrib = _apply_product_term_batched(eye_t, dims, term)
+                out = out + contrib.reshape((dim, dim))
+            return out
+
+        return build()
+
     # -- structured decomposition ----------------------------------------------
     def diagonal_part(self) -> np.ndarray:
         """Sum of all purely-diagonal terms as a length-dim real vector.
@@ -158,6 +186,21 @@ class OperatorSum:
             contrib = _apply_product_term(psi_t, dims, term)
             out = out + contrib.reshape(psi.shape)
         return out
+
+
+def _apply_product_term_batched(psi_t: Cplx, dims: tuple[int, ...], term: ProductTerm) -> Cplx:
+    """Like _apply_product_term but with a trailing batch axis on psi_t."""
+    n = len(dims)
+    out = psi_t
+    for site, which in term.factors:
+        op = Cplx.from_numpy(local_op(dims[site], which))
+        letters = [chr(ord("a") + k) for k in range(n)]
+        in_spec = "".join(letters) + "Y"
+        out_letters = letters.copy()
+        out_letters[site] = "Z"
+        spec = f"Z{letters[site]},{in_spec}->{''.join(out_letters)}Y"
+        out = ceinsum(spec, op, out)
+    return out * term.coeff
 
 
 def _apply_product_term(psi_t: Cplx, dims: tuple[int, ...], term: ProductTerm) -> Cplx:

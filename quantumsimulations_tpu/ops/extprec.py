@@ -1,0 +1,143 @@
+"""Extended-precision (float64-accurate) matmuls from MXU-native passes.
+
+This TPU generation emulates f64; XLA's x64 rewriter expands an f64 matmul
+into ~8 bf16-limb passes but materializes every pass at once — a square
+8192^2 f64 matmul needs >17 GB and OOMs the chip.  This module implements the
+same idea (Ozaki-scheme splitting) manually with SEQUENCED, bounded-memory
+passes, turning f64-precision square matmuls at dim 8192 from impossible into
+a few seconds of bf16 MXU work.
+
+Scheme
+------
+Split each f64 matrix into ``n_limbs`` grid-aligned integer limbs of
+``limb_bits`` bits:
+
+    x = sum_k  l_k * 2^{-p_k},   l_k integer-valued, |l_k| <= 2^limb_bits
+
+where the grids p_k descend from the matrix's global max exponent.  Limb
+extraction uses only multiply / rint / subtract — exact in (emulated-exact)
+f64 and opaque to XLA's excess-precision simplifier (classic two-sum/Dekker
+patterns get rewritten away on this backend; see dynamics/phase.py).
+
+Each limb is stored as bf16 (integers up to 2^limb_bits are exact in bf16's
+8-bit mantissa).  A product of two limb matrices accumulates integers bounded
+by K * 2^(2*limb_bits) in the MXU's f32 accumulator — with limb_bits=5 and
+K <= 8192 that is < 2^23, so every partial sum is EXACTLY representable:
+the limb products are error-free.  The final sum over limb pairs (k, l) with
+k + l < n_limbs runs in f64; the truncated tail is ~2^-(5*n_limbs) relative.
+
+Cost: ~n_limbs*(n_limbs+1)/2 bf16 matmuls per real f64 matmul — native MXU
+throughput instead of software emulation, with ~2 * n_limbs * M*K*2 bytes of
+limb storage and one f32 product transient.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cplx import Cplx
+
+LIMB_BITS = 5
+N_LIMBS = 12  # 12 * 5 = 60 bits >= f64's 53-bit significand
+
+
+def _limb_split(x: jnp.ndarray, n_limbs: int, limb_bits: int):
+    """(limbs bf16 [n_limbs, ...], scale) with x ~= sum_k limbs[k] * scale * 2^{-limb_bits*k}.
+
+    ``scale`` is a power of two with max|x| / scale in [2^(limb_bits-1), 2^limb_bits).
+    """
+    maxabs = jnp.max(jnp.abs(x))
+    safe = jnp.where(maxabs > 0, maxabs, 1.0)
+    # scale = 2^(floor(log2 maxabs) + 1 - limb_bits): first limb uses full range
+    e = jnp.floor(jnp.log2(safe)) + 1.0 - limb_bits
+    scale = jnp.exp2(e)
+    inv_scale = jnp.exp2(-e)
+
+    limbs = []
+    r = x * inv_scale  # |r| < 2^limb_bits
+    for _ in range(n_limbs):
+        l = jnp.rint(r)
+        limbs.append(l.astype(jnp.bfloat16))
+        r = (r - l) * (2.0**limb_bits)
+    return jnp.stack(limbs), scale
+
+
+def _accumulate_products(A, sa, B, sb, out_shape, n_limbs, limb_bits):
+    out = jnp.zeros(out_shape, jnp.float64)
+    # each limb-pair product is EXACT in the f32 accumulator; sums across
+    # pairs must happen in f64 (f32 sums of several ~2^23 products would
+    # round and reintroduce ~1e-8-relative error)
+    for s in range(n_limbs):
+        w = jnp.exp2(jnp.asarray(-limb_bits * s, jnp.float64))
+        for k in range(s + 1):
+            p = jnp.dot(A[k], B[s - k], preferred_element_type=jnp.float32)
+            out = out + p.astype(jnp.float64) * w
+    return out * (sa * sb)
+
+
+@partial(jax.jit, static_argnames=("n_limbs", "limb_bits"))
+def matmul_f64(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_limbs: int = N_LIMBS,
+    limb_bits: int = LIMB_BITS,
+) -> jnp.ndarray:
+    """f64-precision a @ b via error-free bf16 limb products."""
+    assert a.dtype == jnp.float64 and b.dtype == jnp.float64
+    K = a.shape[-1]
+    assert K * (2 ** (2 * limb_bits)) < 2**24, "f32 accumulation would round"
+    A, sa = _limb_split(a, n_limbs, limb_bits)
+    B, sb = _limb_split(b, n_limbs, limb_bits)
+    return _accumulate_products(
+        A, sa, B, sb, (a.shape[0], b.shape[1]), n_limbs, limb_bits
+    )
+
+
+# -- pre-limbed form: split a reused operand once (e.g. a step operator
+#    applied to thousands of state blocks) -----------------------------------
+
+@partial(jax.jit, static_argnames=("n_limbs", "limb_bits"))
+def limbs_of(a: jnp.ndarray, n_limbs: int = N_LIMBS, limb_bits: int = LIMB_BITS):
+    return _limb_split(a, n_limbs, limb_bits)
+
+
+@partial(jax.jit, static_argnames=("n_limbs", "limb_bits"))
+def matmul_f64_prelimbed(
+    A, sa, b: jnp.ndarray, n_limbs: int = N_LIMBS, limb_bits: int = LIMB_BITS
+) -> jnp.ndarray:
+    """(pre-limbed A) @ b."""
+    B, sb = _limb_split(b, n_limbs, limb_bits)
+    return _accumulate_products(
+        A, sa, B, sb, (A.shape[1], b.shape[1]), n_limbs, limb_bits
+    )
+
+
+@partial(jax.jit, static_argnames=("n_limbs", "limb_bits"))
+def cmatmul_f64(
+    a_re, a_im, b_re, b_im, n_limbs: int = N_LIMBS, limb_bits: int = LIMB_BITS
+):
+    """f64-precision complex matmul on (re, im) planes via limb products.
+
+    The four real products reuse one limb decomposition per plane by stacking
+    [Ar; Ai] @ [Br, Bi] into a single (2M, K) x (K, 2N) limb matmul chain and
+    reading the quadrants back out.
+    """
+    M, K = a_re.shape
+    N = b_re.shape[1]
+    a2 = jnp.concatenate([a_re, a_im], axis=0)  # (2M, K)
+    b2 = jnp.concatenate([b_re, b_im], axis=1)  # (K, 2N)
+    c2 = matmul_f64(a2, b2, n_limbs=n_limbs, limb_bits=limb_bits)
+    rr = c2[:M, :N]
+    ri = c2[:M, N:]
+    ir = c2[M:, :N]
+    ii = c2[M:, N:]
+    return rr - ii, ri + ir
+
+
+def cmatmul_f64_cplx(a: Cplx, b: Cplx, **kw) -> Cplx:
+    re, im = cmatmul_f64(a.re, a.im, b.re, b.im, **kw)
+    return Cplx(re, im)

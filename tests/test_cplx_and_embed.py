@@ -131,3 +131,18 @@ def test_site_reduced_density_and_expectation():
             want = np.real(psi.conj() @ full @ psi)
             got = float(expect_site(cp, dims, site, which))
             assert np.isclose(got, want, atol=1e-12)
+
+
+def test_to_dense_device_matches_host():
+    dims = (2, 2, 4, 2)
+    terms = (
+        ProductTerm(0.7, ((0, "z"),)),
+        ProductTerm(1.9, ((1, "z"), (3, "z"))),
+        ProductTerm(-1.3, ((1, "x"), (2, "y"))),
+        ProductTerm(0.25, ((0, "y"), (3, "y"))),
+        ProductTerm(0.4, ((2, "x"),)),
+    )
+    op = OperatorSum(dims, terms)
+    host = op.to_dense()
+    dev = op.to_dense_device().to_numpy()
+    assert np.allclose(dev, host, atol=1e-14)

@@ -1,0 +1,107 @@
+"""Limb-decomposed f64 matmul: accuracy vs numpy float64 (and longdouble)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quantumsimulations_tpu.ops.cplx import Cplx
+from quantumsimulations_tpu.ops.extprec import cmatmul_f64, cmatmul_f64_cplx, matmul_f64
+
+rng = np.random.default_rng(23)
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 64), (128, 300, 96), (57, 513, 33)])
+def test_matmul_f64_accuracy(shape):
+    M, K, N = shape
+    a = rng.standard_normal((M, K))
+    b = rng.standard_normal((K, N))
+    got = np.asarray(matmul_f64(jnp.asarray(a), jnp.asarray(b)))
+    # oracle in 80-bit longdouble: compare both against it
+    want_ld = (a.astype(np.longdouble) @ b.astype(np.longdouble)).astype(np.float64)
+    scale = np.abs(want_ld).max()
+    err_ours = np.abs(got - want_ld).max() / scale
+    err_np = np.abs(a @ b - want_ld).max() / scale
+    # ours should be within a small factor of numpy's own f64 rounding
+    assert err_ours < max(5e-15, 10 * err_np), (err_ours, err_np)
+
+
+def test_matmul_f64_wide_dynamic_range():
+    # entries spanning ~12 orders of magnitude
+    a = rng.standard_normal((96, 128)) * np.exp(rng.uniform(-14, 14, (96, 128)))
+    b = rng.standard_normal((128, 80)) * np.exp(rng.uniform(-14, 14, (128, 80)))
+    got = np.asarray(matmul_f64(jnp.asarray(a), jnp.asarray(b)))
+    want = (a.astype(np.longdouble) @ b.astype(np.longdouble)).astype(np.float64)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
+
+
+def test_matmul_f64_zero_matrix():
+    a = np.zeros((16, 16))
+    b = rng.standard_normal((16, 16))
+    got = np.asarray(matmul_f64(jnp.asarray(a), jnp.asarray(b)))
+    assert np.all(got == 0.0)
+
+
+def test_cmatmul_f64_matches_complex():
+    M, K, N = 64, 96, 48
+    a = rng.standard_normal((M, K)) + 1j * rng.standard_normal((M, K))
+    b = rng.standard_normal((K, N)) + 1j * rng.standard_normal((K, N))
+    cre, cim = cmatmul_f64(
+        jnp.asarray(a.real), jnp.asarray(a.imag),
+        jnp.asarray(b.real), jnp.asarray(b.imag),
+    )
+    want = a @ b
+    got = np.asarray(cre) + 1j * np.asarray(cim)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-14
+
+    got2 = cmatmul_f64_cplx(Cplx.from_numpy(a), Cplx.from_numpy(b)).to_numpy()
+    assert np.allclose(got2, want, atol=1e-13 * np.abs(want).max())
+
+
+def test_unitary_propagation_precision():
+    """The actual use case: U @ U^dag ~ I for a random unitary at f64 precision."""
+    n = 128
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = H + H.conj().T
+    import scipy.linalg
+
+    U = scipy.linalg.expm(-1j * H * 0.01)
+    Uc = Cplx.from_numpy(U)
+    Ud = Cplx.from_numpy(U.conj().T)
+    I = cmatmul_f64_cplx(Uc, Ud).to_numpy()
+    assert np.abs(I - np.eye(n)).max() < 1e-13
+
+
+def test_expm_ozaki_traces_match_eig():
+    """The Ozaki-backed step-operator path vs the exact eig path (CPU)."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched, eigh_host,
+    )
+    from quantumsimulations_tpu.dynamics.expm_propagator import (
+        expm_traces_assembled_ozaki,
+    )
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    p = DipolarRareParams(
+        n_sea=3, gamma_sea=gamma, gamma_rare=6.976e7, B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma, B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=4.0e-4, steps=37, drive_sea=True, drive_rare=True,
+        is_spin_three_half=False, is_center_rare=True,
+    )
+    m = build_model(p)
+    t = np.linspace(0, p.t_final, p.steps)
+    w, V = eigh_host(m.hamiltonian.to_dense())
+    exact = eig_traces_assembled_batched(
+        w[None], V[None], m.psi0[None], t, m.dims,
+        np.asarray([m.n_sea_effective]), m.idx_rare,
+    )[0]
+    rows = expm_traces_assembled_ozaki(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare, block=8,
+    )
+    assert rows.shape == exact.shape
+    # observables + norm rows
+    assert np.allclose(rows[:7], exact[:7], atol=1e-10)
