@@ -123,7 +123,7 @@ def _ozaki_expm(H: OperatorSum, dt: float):
     (compiled once per shape), avoiding a single monster program that stalls
     the remote compiler.
     """
-    from ..ops.extprec import cmatmul_f64
+    from ..ops.extprec import cmatmul_f64, limbs_of, matmul_f64_prelimbed
 
     Hd = H.to_dense_device()  # seconds on device vs ~15 min host kron at dim 8192
     dim = Hd.shape[0]
@@ -134,17 +134,49 @@ def _ozaki_expm(H: OperatorSum, dt: float):
     # A = -i H dt_s
     Are = Hd.im * dt_s
     Aim = -Hd.re * dt_s
+    del Hd
 
-    eye = jnp.eye(dim)
-    zero = jnp.zeros((dim, dim))
-    acc_re, acc_im = eye, zero
-    for k in range(_TAYLOR_DEGREE, 0, -1):
-        cre, cim = cmatmul_f64(Are, Aim, acc_re, acc_im)
-        acc_re = eye + cre * (1.0 / k)
-        acc_im = cim * (1.0 / k)
+    # Horner without materializing identities (the chip's effective HBM after
+    # the x64 rewriter's fragmentation is ~half of 16 GB):
+    #   D_N = A;  D_{k-1} = A + (A @ D_k) / k;  exp(A) ~ I + D_1
+    # A's limb stacks are computed once and reused across all iterations.
+    Alr, asr = limbs_of(Are)
+    Ali, asi = limbs_of(Aim)
+    jax.block_until_ready(Alr)
+
+    @jax.jit
+    def _axpy(A_plane, t_plane, invk):
+        return A_plane + t_plane * invk
+
+    D_re, D_im = Are, Aim
+    for k in range(_TAYLOR_DEGREE, 1, -1):
+        rr = matmul_f64_prelimbed(Alr, asr, D_re)
+        ii = matmul_f64_prelimbed(Ali, asi, D_im)
+        t_re = rr - ii
+        jax.block_until_ready(t_re)
+        del rr, ii
+        ri = matmul_f64_prelimbed(Alr, asr, D_im)
+        ir = matmul_f64_prelimbed(Ali, asi, D_re)
+        t_im = ri + ir
+        jax.block_until_ready(t_im)
+        del ri, ir
+        D_re = _axpy(Are, t_re, 1.0 / k)
+        D_im = _axpy(Aim, t_im, 1.0 / k)
+        jax.block_until_ready(D_re)
+        del t_re, t_im
+    del Alr, Ali, Are, Aim
+
+    @jax.jit
+    def _add_identity(re):
+        rows = jnp.arange(re.shape[0])
+        return re + (rows[:, None] == rows[None, :]).astype(re.dtype)
+
+    U_re = _add_identity(D_re)
+    U_im = D_im
+    del D_re, D_im
     for _ in range(n_sq):
-        acc_re, acc_im = cmatmul_f64(acc_re, acc_im, acc_re, acc_im)
-    return Cplx(acc_re, acc_im)
+        U_re, U_im = cmatmul_f64(U_re, U_im, U_re, U_im)
+    return Cplx(U_re, U_im)
 
 
 def _cpower_ozaki(U: Cplx, p: int) -> Cplx:
@@ -193,47 +225,38 @@ def expm_traces_assembled_ozaki(
     block = min(block, T)
     n_blocks = int(np.ceil(T / block))
 
-    U = _ozaki_expm(H, dt)
-    UB = _cpower_ozaki(U, block)
-    # pre-limb the quadrant-stacked block operator [[Ur],[Ui]] (2*dim, dim)
-    UB2 = jnp.concatenate([UB.re, UB.im], axis=0)
-    UBl, UBs = limbs_of(UB2)
-    U2 = jnp.concatenate([U.re, U.im], axis=0)
-    Ul, Us = limbs_of(U2)
-
     sea_mask = jnp.asarray(
         (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
     )
     hdiag = jnp.asarray(H.diagonal_part())
-
-    @jax.jit
-    def seed_block(p_re, p_im):
-        """[psi, U psi, ..., U^{B-1} psi] as (dim, B) by sequential U matvec."""
-        def body(carry, _):
-            pr, pi = carry
-            b2 = jnp.concatenate([pr[:, None], pi[:, None]], axis=1)  # (dim, 2)
-            c2 = matmul_f64_prelimbed(Ul, Us, b2)
-            nr = c2[:dim, 0] - c2[dim:, 1]
-            ni = c2[:dim, 1] + c2[dim:, 0]
-            return (nr, ni), (pr, pi)
-
-        (_, _), (rs, is_) = jax.lax.scan(body, (p_re, p_im), None, length=block)
-        return rs.T, is_.T  # (dim, B)
-
-    @jax.jit
-    def advance(S_re, S_im):
-        b2 = jnp.concatenate([S_re, S_im], axis=1)  # (dim, 2B)
-        c2 = matmul_f64_prelimbed(UBl, UBs, b2)
-        B = S_re.shape[1]
-        nr = c2[:dim, :B] - c2[dim:, B:]
-        ni = c2[:dim, B:] + c2[dim:, :B]
-        return nr, ni
-
-    # <H> is conserved under the (unitary) step operator; report the exact
-    # t=0 constant as the energy diagnostic row
+    # <H> is conserved under the (unitary) step operator; compute the t=0
+    # constant FIRST, while memory is free (the eager term-apply allocates
+    # hundreds of temporaries and must not run on top of the limb stacks)
     p0c = Cplx(jnp.asarray(psi0.real), jnp.asarray(psi0.imag))
     hp0 = H.apply(p0c, diag=hdiag)
     e0 = jnp.sum(p0c.re * hp0.re + p0c.im * hp0.im)
+    e0.block_until_ready()
+    del hp0
+
+    # block must be a power of two: the seed block and U^block come out of
+    # one doubling pass (S <- [S, P S], P <- P^2), entirely in limb matmuls
+    block = 1 << (block.bit_length() - 1)
+    n_blocks = int(np.ceil(T / block))
+
+    from ..ops.extprec import cmatmul_f64
+
+    U = _ozaki_expm(H, dt)
+
+    # NOTE: limb stacks are GBs — always jit ARGUMENTS, never closure
+    # captures (capture bakes them in as MLIR constants).
+
+    @jax.jit
+    def advance(Lr, sr, Li, si, S_re, S_im):
+        rr = matmul_f64_prelimbed(Lr, sr, S_re)
+        ii = matmul_f64_prelimbed(Li, si, S_im)
+        ri = matmul_f64_prelimbed(Lr, sr, S_im)
+        ir = matmul_f64_prelimbed(Li, si, S_re)
+        return rr - ii, ri + ir
 
     @partial(jax.jit, static_argnames=("dims_", "idx_rare_"))
     def rows_of(S_re, S_im, dims_, idx_rare_):
@@ -247,13 +270,35 @@ def expm_traces_assembled_ozaki(
             [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms, energy]
         )
 
-    p_re = jnp.asarray(psi0.real)
-    p_im = jnp.asarray(psi0.imag)
-    S_re, S_im = seed_block(p_re, p_im)
+    # doubling pass: after log2(block) steps S holds the first `block`
+    # states and P = U^block
+    S_re = jnp.asarray(psi0.real)[:, None]
+    S_im = jnp.asarray(psi0.imag)[:, None]
+    P = U
+    del U
+    steps_log = int(np.log2(block))
+    for _ in range(steps_log):
+        ns_re, ns_im = cmatmul_f64(P.re, P.im, S_re, S_im)
+        jax.block_until_ready(ns_re)
+        S_re = jnp.concatenate([S_re, ns_re], axis=1)
+        S_im = jnp.concatenate([S_im, ns_im], axis=1)
+        P2re, P2im = cmatmul_f64(P.re, P.im, P.re, P.im)
+        P = Cplx(P2re, P2im)
+        jax.block_until_ready(P.re)
+    UB = P
+    del P
+
+    # limb the block operator's planes separately (concatenation would hold
+    # an extra 2 GB)
+    UBlr, UBsr = limbs_of(UB.re)
+    UBli, UBsi = limbs_of(UB.im)
+    jax.block_until_ready(UBlr)
+    del UB
+
     parts = []
     for _ in range(n_blocks):
         parts.append(rows_of(S_re, S_im, dims, idx_rare))
-        S_re, S_im = advance(S_re, S_im)
+        S_re, S_im = advance(UBlr, UBsr, UBli, UBsi, S_re, S_im)
     stacked = jnp.stack(parts)  # (n_blocks, 8, B)
     flat = np.asarray(_flatten_kernel(stacked))
     rows = np.moveaxis(flat.reshape(n_blocks, 8, block), 0, 1).reshape(8, -1)[:, :T]

@@ -148,6 +148,9 @@ class OperatorSum:
             b = block(s)
             out_re = jax.lax.dynamic_update_slice(out_re, b.re, (0, s))
             out_im = jax.lax.dynamic_update_slice(out_im, b.im, (0, s))
+            # serialize: queued async blocks would hold their temporaries
+            # simultaneously on a memory-tight chip
+            jax.block_until_ready(out_re)
         return Cplx(out_re, out_im)
 
     # -- structured decomposition ----------------------------------------------

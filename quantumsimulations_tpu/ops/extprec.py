@@ -42,7 +42,7 @@ import numpy as np
 from .cplx import Cplx
 
 LIMB_BITS = 5
-N_LIMBS = 12  # 12 * 5 = 60 bits >= f64's 53-bit significand
+N_LIMBS = 11  # 11 * 5 = 55 bits >= f64's 53-bit significand
 
 
 def _limb_split(x: jnp.ndarray, n_limbs: int, limb_bits: int):
@@ -116,26 +116,46 @@ def matmul_f64_prelimbed(
     )
 
 
-@partial(jax.jit, static_argnames=("n_limbs", "limb_bits"))
+@jax.jit
+def _sub(a, b):
+    return a - b
+
+
+@jax.jit
+def _add(a, b):
+    return a + b
+
+
+_SYNC_ELEMS = 2**24  # serialize products when operands exceed ~128 MB
+
+
 def cmatmul_f64(
     a_re, a_im, b_re, b_im, n_limbs: int = N_LIMBS, limb_bits: int = LIMB_BITS
 ):
     """f64-precision complex matmul on (re, im) planes via limb products.
 
-    The four real products reuse one limb decomposition per plane by stacking
-    [Ar; Ai] @ [Br, Bi] into a single (2M, K) x (K, 2N) limb matmul chain and
-    reading the quadrants back out.
+    The four real products run as SEQUENCED programs (a single fused program
+    — or a quadrant-stacked (2M,K)x(K,2N) form — keeps too many limb stacks
+    and product transients alive and OOMs at dim 8192).  For large operands
+    each product is synced before the next dispatch: async execution lets
+    several queued programs reserve their limb/product transients at once.
     """
-    M, K = a_re.shape
-    N = b_re.shape[1]
-    a2 = jnp.concatenate([a_re, a_im], axis=0)  # (2M, K)
-    b2 = jnp.concatenate([b_re, b_im], axis=1)  # (K, 2N)
-    c2 = matmul_f64(a2, b2, n_limbs=n_limbs, limb_bits=limb_bits)
-    rr = c2[:M, :N]
-    ri = c2[:M, N:]
-    ir = c2[M:, :N]
-    ii = c2[M:, N:]
-    return rr - ii, ri + ir
+    kw = dict(n_limbs=n_limbs, limb_bits=limb_bits)
+    big = a_re.size >= _SYNC_ELEMS
+
+    def run(x, y):
+        out = matmul_f64(x, y, **kw)
+        if big:
+            jax.block_until_ready(out)
+        return out
+
+    rr = run(a_re, b_re)
+    ii = run(a_im, b_im)
+    c_re = _sub(rr, ii)
+    del rr, ii
+    ri = run(a_re, b_im)
+    ir = run(a_im, b_re)
+    return c_re, _add(ri, ir)
 
 
 def cmatmul_f64_cplx(a: Cplx, b: Cplx, **kw) -> Cplx:

@@ -113,3 +113,12 @@ def test_reprocess_cli(sweep_dir, capsys):
     out = capsys.readouterr().out
     assert "[ok]" in out
     assert os.path.isfile(os.path.join(sweep_dir, "summary_reprocessed_win40.json"))
+
+
+def test_reprocess_full_pdf_regeneration(sweep_dir):
+    out_path = reprocess_sweep(sweep_dir, coarse_window=25, make_plots=True)
+    assert out_path.endswith("summary_reprocessed_win25.json")
+    pdf = os.path.join(sweep_dir, "reprocessed_win25_report.pdf")
+    assert os.path.isfile(pdf)
+    # 2 points x 4 plot pages + summary table + contrast-vs-eta: a real PDF
+    assert os.path.getsize(pdf) > 20_000
