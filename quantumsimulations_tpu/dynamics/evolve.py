@@ -24,7 +24,7 @@ import numpy as np
 
 from ..models.dipolar import build_model
 from ..models.params import DipolarRareParams
-from .eig_propagator import eig_propagate_traces, eigh_host
+from .eig_propagator import eigh_host
 from .observables import assemble_traces
 
 _EIG_MAX_DIM = 8192

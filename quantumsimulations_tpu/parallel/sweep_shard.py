@@ -18,7 +18,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..dynamics.eig_propagator import (
     default_time_chunk,
     eig_traces_assembled_batched,
-    eig_propagate_traces_batched,
 )
 
 
