@@ -209,3 +209,37 @@ def test_resume_skips_existing(sweep_dir, capsys):
     assert out.count("resume: skipping") == 3
     with open(os.path.join(base, "summary.json")) as f:
         assert len(json.load(f)["sweep_results"]) == 3
+
+
+def test_sweep_spin32_mixed_dims(tmp_path):
+    """Spin-3/2 rare: center variants have a dim-4 rare site while the
+    sea-center control is all-qubit — the runner must batch the two Hilbert
+    dims separately."""
+    base = run_sweep_sea_detuning(
+        f_Az=F_AZ,
+        f1A=F1A,
+        target_sea_detuning=F1A,
+        gamma_sea=GAMMA_SEA,
+        gamma_rare=GAMMA_RARE,
+        sea_detunings_Hz=[0.0, 50_000.0],
+        n_sea=4,
+        t_final=0.01,
+        steps=300,
+        out_root=str(tmp_path),
+        is_spin_three_half=True,
+        coarse_window=10,
+        make_plots=False,
+    )
+    import numpy as np
+
+    for tag, dim_expect, iz_r0 in (
+        ("center_on", 2**4 * 4, 1.5),   # spin-3/2 rare: starts at +3/2
+        ("shell_off", 2**5, -0.5),      # control: center is a sea spin (down)
+    ):
+        z = np.load(os.path.join(base, "delta_p0.0Hz", f"time_and_obs_{tag}.npz"))
+        assert np.isclose(z["Iz_R"][0], iz_r0), tag
+        assert np.abs(z["state_norm"] - 1).max() < 1e-10
+    with open(os.path.join(base, "summary.json")) as f:
+        rows = json.load(f)["sweep_results"]
+    assert len(rows) == 2
+    assert all(np.isfinite(r["I_z_slope_on_center"]) for r in rows)
