@@ -15,8 +15,7 @@ import numpy as np
 from ..analysis.metrics import f1R_for_resonance
 from ..models.params import DipolarRareParams
 
-GAMMA_71GA = 8.1812e7
-GAMMA_27AL = 6.976e7
+from ..models.params import GAMMA_27AL, GAMMA_71GA  # noqa: E402
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -16,8 +16,7 @@ import numpy as np
 
 from ..sweep.runner import run_sweep_sea_detuning
 
-GAMMA_71GA = 8.1812e7  # rad/s/T
-GAMMA_27AL = 6.976e7  # rad/s/T
+from ..models.params import GAMMA_27AL, GAMMA_71GA  # noqa: E402
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -15,8 +15,7 @@ import numpy as np
 
 from ..sweep.grid2d import run_grid2d
 
-GAMMA_71GA = 8.1812e7
-GAMMA_27AL = 6.976e7
+from ..models.params import GAMMA_27AL, GAMMA_71GA  # noqa: E402
 
 
 def main(argv: list[str] | None = None) -> None:

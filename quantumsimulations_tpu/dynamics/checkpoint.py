@@ -74,8 +74,8 @@ def krylov_propagate_traces_checkpointed(
     ckpt_dir: str,
     ckpt_every: int = 500,
     params: DipolarRareParams | None = None,
-    m: int = 48,
-    theta: float = 12.0,
+    m: int | None = None,
+    theta: float | None = None,
 ) -> dict[str, np.ndarray]:
     """Krylov trace propagation with periodic snapshots and resume.
 
@@ -87,8 +87,13 @@ def krylov_propagate_traces_checkpointed(
     import jax
 
     from ..ops.cplx import Cplx
-    from .krylov import make_krylov_step
+    from .krylov import KRYLOV_M, KRYLOV_THETA, make_krylov_step
     from .observables import site_xyz_expectations, state_norms
+
+    if m is None:
+        m = KRYLOV_M
+    if theta is None:
+        theta = KRYLOV_THETA
 
     times = np.asarray(times)
     T = len(times)
@@ -100,16 +105,23 @@ def krylov_propagate_traces_checkpointed(
     xyz = np.zeros((n_sites, 3, T))
     norms = np.zeros(T)
 
+    os.makedirs(ckpt_dir, exist_ok=True)
     start = 0
     psi = psi0.astype(np.complex128)
     resume = latest_snapshot(ckpt_dir)
     trace_stash = os.path.join(ckpt_dir, "traces_partial.npz")
     if resume is not None and os.path.isfile(trace_stash):
-        start, psi = resume
-        stash = np.load(trace_stash)
-        upto = min(start, T)
-        xyz[..., :upto] = stash["xyz"][..., :upto]
-        norms[:upto] = stash["norm"][:upto]
+        try:
+            stash = np.load(trace_stash)
+            start, psi = resume
+            upto = min(start, T)
+            xyz[..., :upto] = stash["xyz"][..., :upto]
+            norms[:upto] = stash["norm"][:upto]
+        except Exception:
+            # corrupt stash (e.g. preemption mid-write before the atomic
+            # scheme was in place): restart from scratch rather than resume
+            # with a silently zeroed window
+            start, psi = 0, psi0.astype(np.complex128)
 
     cur = Cplx.from_numpy(psi)
     obs_fn = jax.jit(
@@ -126,6 +138,10 @@ def krylov_propagate_traces_checkpointed(
         if k + 1 < T:
             cur = step(cur)
         if ckpt_every and (k + 1) % ckpt_every == 0:
+            # stash FIRST (atomically): the resume invariant is
+            # "stash covers at least up to the newest snapshot's step"
+            tmp = trace_stash + ".tmp.npz"
+            np.savez(tmp, xyz=xyz, norm=norms)
+            os.replace(tmp, trace_stash)
             save_snapshot(ckpt_dir, k + 1, cur.to_numpy(), params=params)
-            np.savez(trace_stash, xyz=xyz, norm=norms)
     return {"site_xyz": xyz, "norm": norms}

@@ -123,6 +123,9 @@ def _dopri_integrate(psi0: Cplx, t_out, atol, rtol, max_step, rhs, dims, n_out):
             jnp.maximum(psi.abs2(), y5.abs2())
         )
         err = jnp.sqrt(jnp.mean((err_re**2 + err_im**2) / sc**2))
+        # a NaN error (diverging state, overflowing coefficient function)
+        # must act as a hard reject, not poison the controller
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         k_last = Cplx(ks_re[6], ks_im[6])  # FSAL: k7 = f(t+h, y5)
         return y5, err, k_last, (ks_re, ks_im)
 
@@ -138,13 +141,20 @@ def _dopri_integrate(psi0: Cplx, t_out, atol, rtol, max_step, rhs, dims, n_out):
 
     outs0 = record((out_xyz0, out_norm0), 0, psi0)
 
+    h_floor = jnp.maximum((t_end - t0) * 1e-15, 1e-300)
+
     def cond(carry):
         t, psi, h, k, outs, out_idx, n_acc, n_rej = carry
-        # the step cap guards against step-size collapse (e.g. a Hamiltonian
-        # whose frequencies are incompatible with the horizon): the loop
-        # exits and the unfilled tail of the trace stays at its zero
-        # initialization, with n_accepted/n_rejected exposing the stall
-        return (out_idx < n_out) & (t < t_end) & (n_acc + n_rej < 20_000_000)
+        # guards against step-size collapse (incompatible frequencies, NaN
+        # divergence): once h shrinks to the floor or the step budget runs
+        # out, the loop exits; the unfilled tail of the trace stays at its
+        # zero initialization with n_accepted/n_rejected exposing the stall
+        return (
+            (out_idx < n_out)
+            & (t < t_end)
+            & (h > h_floor)
+            & (n_acc + n_rej < 20_000_000)
+        )
 
     def body(carry):
         t, psi, h, k, outs, out_idx, n_acc, n_rej = carry

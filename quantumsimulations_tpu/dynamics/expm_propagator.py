@@ -220,7 +220,13 @@ def expm_traces_assembled_ozaki(
 
     times = np.asarray(times)
     T = len(times)
-    dt = float(times[1] - times[0]) if T > 1 else 0.0
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("expm stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
     dim = int(np.prod(dims))
     block = min(block, T)
     n_blocks = int(np.ceil(T / block))

@@ -15,6 +15,11 @@ import math
 
 TWO_PI = 2.0 * math.pi
 
+# Gyromagnetic ratios of the reference's production species (rad/s/T;
+# sweep_sea_detuning.py:1205-1209)
+GAMMA_71GA = 8.1812e7
+GAMMA_27AL = 6.976e7
+
 
 @dataclass
 class DipolarRareParams:

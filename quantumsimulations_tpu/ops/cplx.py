@@ -84,6 +84,8 @@ class Cplx:
     def __add__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re + other.re, self.im + other.im)
+        if isinstance(other, complex):
+            return Cplx(self.re + other.real, self.im + other.imag)
         return Cplx(self.re + other, self.im)
 
     __radd__ = __add__
@@ -91,6 +93,8 @@ class Cplx:
     def __sub__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re - other.re, self.im - other.im)
+        if isinstance(other, complex):
+            return Cplx(self.re - other.real, self.im - other.imag)
         return Cplx(self.re - other, self.im)
 
     def __rsub__(self, other):

@@ -121,6 +121,7 @@ class OperatorSum:
         at dim 8192).  Layout: out[:, j] = H @ e_j.
         """
         import jax
+        from functools import partial as _partial
 
         dims = self.dims
         dim = self.dim
@@ -128,29 +129,37 @@ class OperatorSum:
         diag = jnp.asarray(self.diagonal_part())
         terms = self.offdiagonal_terms()
 
-        @jax.jit
-        def block(start):
-            cols = start + jnp.arange(cb)
+        @_partial(jax.jit, static_argnames=("width",))
+        def block(start, width):
+            cols = start + jnp.arange(width)
             rows = jnp.arange(dim)
             eye_re = (rows[:, None] == cols[None, :]).astype(jnp.float64)
-            blk = Cplx(eye_re * diag[:, None], jnp.zeros((dim, cb)))
-            eye_t = Cplx(eye_re, jnp.zeros((dim, cb))).reshape(dims + (cb,))
+            blk = Cplx(eye_re * diag[:, None], jnp.zeros((dim, width)))
+            eye_t = Cplx(eye_re, jnp.zeros((dim, width))).reshape(dims + (width,))
             for term in terms:
                 contrib = _apply_product_term_batched(eye_t, dims, term)
-                blk = blk + contrib.reshape((dim, cb))
+                blk = blk + contrib.reshape((dim, width))
             return blk
 
         if dim == cb:
-            return block(0)
+            return block(0, dim)
         out_re = jnp.zeros((dim, dim))
         out_im = jnp.zeros((dim, dim))
-        for s in range(0, dim, cb):
-            b = block(s)
+        full_end = (dim // cb) * cb
+        for s in range(0, full_end, cb):
+            b = block(s, cb)
             out_re = jax.lax.dynamic_update_slice(out_re, b.re, (0, s))
             out_im = jax.lax.dynamic_update_slice(out_im, b.im, (0, s))
             # serialize: queued async blocks would hold their temporaries
             # simultaneously on a memory-tight chip
             jax.block_until_ready(out_re)
+        if full_end < dim:
+            # tail: an out-of-range dynamic_update_slice start would be
+            # CLAMPED and silently corrupt earlier columns, so the remainder
+            # gets its own exact-width program
+            b = block(full_end, dim - full_end)
+            out_re = jax.lax.dynamic_update_slice(out_re, b.re, (0, full_end))
+            out_im = jax.lax.dynamic_update_slice(out_im, b.im, (0, full_end))
         return Cplx(out_re, out_im)
 
     # -- structured decomposition ----------------------------------------------

@@ -10,10 +10,13 @@ TPU-first redesign: the reference runs 3*n_det QuTiP ODE solves serially
 BATCH through the exact eigendecomposition propagator — host eigensolves are
 the only serial part, and all trace computation is a handful of batched MXU
 matmuls on the chip.  Artifacts, metrics, plots, summary.json and
-sweep_results.csv are written per point (save-as-you-go, so a crash loses at
-most one point — preserving the reference's incremental-persistence behavior,
-sweep_sea_detuning.py:677-691), and points whose metrics.json already exists
-can be skipped with resume=True.
+sweep_results.csv are written per point after the batched solve.  Crash
+granularity therefore differs from the reference's save-as-you-go (which
+persisted after each of its hours-long serial solves,
+sweep_sea_detuning.py:677-691): here the whole solve is one fast batch, so a
+crash during it loses that batch, while a crash during the (much longer, at
+production plot settings) artifact loop loses at most one point; resume=True
+skips points whose metrics.json already exists.
 """
 
 from __future__ import annotations
@@ -59,6 +62,29 @@ TAGS = ("center_off", "center_on", "shell_off")
 _MAX_BATCH_BYTES = 2 << 30
 
 
+def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
+    """One simulation through a stepping backend, as a named trace dict."""
+    from ..dynamics.observables import assemble_traces
+
+    if method == "expm":
+        from ..dynamics.expm_propagator import expm_propagate_traces
+
+        out = expm_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
+    elif method == "krylov":
+        from ..dynamics.krylov import krylov_propagate_traces
+
+        out = krylov_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
+    elif method == "dopri":
+        from ..dynamics.dopri import dopri_propagate_traces
+
+        out = dopri_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
+    else:
+        raise ValueError(method)
+    tr = assemble_traces(out["site_xyz"], out["norm"], model.n_sea_effective, model.idx_rare)
+    tr["energy"] = out.get("energy", np.zeros_like(out["norm"]))
+    return tr
+
+
 def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> list[dict[str, np.ndarray]]:
     """Batched exact solve for models sharing identical Hilbert dims.
 
@@ -73,11 +99,17 @@ def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> l
         traces_dict,
     )
 
+    if solver_method in ("expm", "krylov", "dopri"):
+        # stepping backends: solve per simulation (no batched-eigh structure)
+        return [_solve_one_stepping(m, times, solver_method) for m in models]
+
     solve_fn = (
         eig_traces_assembled_batched32
         if solver_method == "eig32"
         else eig_traces_assembled_batched
     )
+    if mesh is not None and solver_method == "eig32":
+        raise ValueError("eig32 is not supported with mesh sharding yet; use eig")
 
     dims = models[0].dims
     dim = int(np.prod(dims))

@@ -146,3 +146,25 @@ def test_to_dense_device_matches_host():
     host = op.to_dense()
     dev = op.to_dense_device().to_numpy()
     assert np.allclose(dev, host, atol=1e-14)
+
+
+def test_cplx_complex_scalar_add_sub():
+    a = _rand_c(4, 3)
+    ca = Cplx.from_numpy(a)
+    assert np.allclose((ca + (1 + 2j)).to_numpy(), a + (1 + 2j))
+    assert np.allclose((ca - (0.5 - 1j)).to_numpy(), a - (0.5 - 1j))
+    assert (ca + 1j).re.dtype == ca.re.dtype  # planes stay real
+
+
+def test_to_dense_device_partial_tail_block():
+    """dim not a multiple of col_block: the tail must not clamp-corrupt."""
+    dims = (2, 2, 3)  # dim = 12
+    terms = (
+        ProductTerm(0.7, ((0, "z"),)),
+        ProductTerm(-1.1, ((0, "x"), (2, "y"))),
+        ProductTerm(0.4, ((1, "y"),)),
+    )
+    op = OperatorSum(dims, terms)
+    host = op.to_dense()
+    dev = op.to_dense_device(col_block=5).to_numpy()  # 12 = 2*5 + 2
+    assert np.allclose(dev, host, atol=1e-14)

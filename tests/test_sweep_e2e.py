@@ -243,3 +243,22 @@ def test_sweep_spin32_mixed_dims(tmp_path):
         rows = json.load(f)["sweep_results"]
     assert len(rows) == 2
     assert all(np.isfinite(r["I_z_slope_on_center"]) for r in rows)
+
+
+@pytest.mark.parametrize("method", ["krylov", "dopri", "expm"])
+def test_sweep_honors_stepping_solvers(tmp_path, method):
+    """--solver krylov/dopri/expm must actually use those backends (they were
+    silently ignored before); results must match the eig sweep."""
+    kwargs = dict(
+        f_Az=F_AZ, f1A=F1A, target_sea_detuning=F1A,
+        gamma_sea=GAMMA_SEA, gamma_rare=GAMMA_RARE,
+        sea_detunings_Hz=[0.0], n_sea=3, t_final=2e-4, steps=21,
+        out_root=str(tmp_path / method), coarse_window=5, make_plots=False,
+    )
+    base_eig = run_sweep_sea_detuning(solver_method="eig", **kwargs)
+    base_m = run_sweep_sea_detuning(solver_method=method, **kwargs)
+    z1 = np.load(os.path.join(base_eig, "delta_p0.0Hz", "time_and_obs_center_on.npz"))
+    z2 = np.load(os.path.join(base_m, "delta_p0.0Hz", "time_and_obs_center_on.npz"))
+    tol = 1e-7 if method == "dopri" else 1e-9
+    assert np.allclose(z1["Iz_sea"], z2["Iz_sea"], atol=tol)
+    assert np.allclose(z2["state_norm"], 1.0, atol=1e-8)
