@@ -125,9 +125,13 @@ def _ozaki_expm(H: OperatorSum, dt: float):
     """
     from ..ops.extprec import cmatmul_f64, limbs_of, matmul_f64_prelimbed
 
+    from .krylov import spectral_norm_estimate
+
     Hd = H.to_dense_device()  # seconds on device vs ~15 min host kron at dim 8192
     dim = Hd.shape[0]
-    norm = spectral_norm_bound(H)
+    # power-iteration estimate: the triangle-inequality bound costs 1-2 extra
+    # squarings, each doubling the limb-matmul rounding amplification
+    norm = min(spectral_norm_bound(H), spectral_norm_estimate(H))
     x = norm * abs(dt)
     n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _TAYLOR_THETA))))
     dt_s = dt / (2**n_sq)

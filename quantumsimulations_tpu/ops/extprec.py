@@ -68,10 +68,14 @@ def _limb_split(x: jnp.ndarray, n_limbs: int, limb_bits: int):
 
 def _accumulate_products(A, sa, B, sb, out_shape, n_limbs, limb_bits):
     out = jnp.zeros(out_shape, jnp.float64)
-    # each limb-pair product is EXACT in the f32 accumulator; sums across
+    # Each limb-pair product is EXACT in the f32 accumulator; sums across
     # pairs must happen in f64 (f32 sums of several ~2^23 products would
-    # round and reintroduce ~1e-8-relative error)
-    for s in range(n_limbs):
+    # round and reintroduce ~1e-8-relative error).  Significance diagonals
+    # are accumulated SMALLEST FIRST: the f64 partial sum then stays small
+    # until the final (largest) diagonals land, so the total rounding is a
+    # few ulp of the result instead of ~n_limbs^2/2 ulp — worth ~25x on the
+    # per-matmul error, which the expm squaring chain amplifies by 2^15.
+    for s in range(n_limbs - 1, -1, -1):
         w = jnp.exp2(jnp.asarray(-limb_bits * s, jnp.float64))
         for k in range(s + 1):
             p = jnp.dot(A[k], B[s - k], preferred_element_type=jnp.float32)
