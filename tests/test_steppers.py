@@ -169,3 +169,26 @@ def test_eig32_speed_mode_close_to_f64():
     for key in ("Iz_sea", "Iz_R", "Ix_R"):
         assert np.allclose(fast[key], ref[key], atol=2e-4), key
     assert np.allclose(fast["state_norm"], 1.0, atol=1e-4)
+
+
+def test_dopri_nan_divergence_exits_gracefully():
+    """A NaN-producing coefficient function must not spin the while_loop to
+    the iteration cap; the integrator exits via the step-size floor with the
+    stall visible in n_accepted/n_rejected."""
+    import time
+
+    import jax.numpy as jnp
+
+    dims = (2,)
+    H0 = OperatorSum(dims, (ProductTerm(1.0e5, ((0, "z"),)),))
+    V = OperatorSum(dims, (ProductTerm(1.0e4, ((0, "x"),)),))
+    bad = TimeDependentHamiltonian(
+        H0, [(V, lambda t: jnp.where(t > 1e-5, jnp.nan, 1.0))]
+    )
+    psi0 = np.array([1.0, 0.0], dtype=np.complex128)
+    t = np.linspace(0.0, 1e-3, 11)
+    t0 = time.time()
+    out = dopri_propagate_traces(bad, psi0, t, dims, atol=1e-10, rtol=1e-9)
+    assert time.time() - t0 < 120  # no multi-hour spin
+    total = out["n_accepted"] + out["n_rejected"]
+    assert total < 20_000_000  # exited via the h floor, not the cap
