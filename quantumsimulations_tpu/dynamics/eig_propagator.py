@@ -57,20 +57,13 @@ def eigh_host(H: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def dense_matrix_host(op, device_threshold_dim: int = 2048) -> np.ndarray:
-    """Dense complex128 matrix of an OperatorSum, assembled where it's cheap.
+    """Dense complex128 matrix of an OperatorSum.
 
-    Small dims: host numpy kron.  Large dims on an accelerator: assemble on
-    device (to_dense_device) and ship the planes back FLAT — the host kron
-    chain takes ~15 minutes at dim 8192 on a 1-core VM, the device build
-    seconds.
+    to_dense now uses index-arithmetic assembly (O(nnz), ~1 s at dim 8192),
+    so the host build is always the cheap path; kept as a named hook for a
+    future device-resident pipeline.
     """
-    dim = op.dim
-    if dim < device_threshold_dim or jax.default_backend() == "cpu":
-        return op.to_dense()
-    D = op.to_dense_device()
-    re = np.asarray(_flatten_kernel(D.re)).reshape(dim, dim)
-    im = np.asarray(_flatten_kernel(D.im)).reshape(dim, dim)
-    return re + 1j * im
+    return op.to_dense()
 
 
 def _states_chunk(w, r, V: Cplx, c: Cplx, k_block, eps_block) -> Cplx:

@@ -127,7 +127,7 @@ def _ozaki_expm(H: OperatorSum, dt: float):
 
     from .krylov import spectral_norm_estimate
 
-    Hd = H.to_dense_device()  # seconds on device vs ~15 min host kron at dim 8192
+    Hd = H.to_dense()  # index-arithmetic assembly: ~1 s even at dim 8192
     dim = Hd.shape[0]
     # power-iteration estimate: the triangle-inequality bound costs 1-2 extra
     # squarings, each doubling the limb-matmul rounding amplification
@@ -135,9 +135,9 @@ def _ozaki_expm(H: OperatorSum, dt: float):
     x = norm * abs(dt)
     n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _TAYLOR_THETA))))
     dt_s = dt / (2**n_sq)
-    # A = -i H dt_s
-    Are = Hd.im * dt_s
-    Aim = -Hd.re * dt_s
+    # A = -i H dt_s  (upload the planes once; contiguous 2-D H2D is fine)
+    Are = jnp.asarray(Hd.imag * dt_s)
+    Aim = jnp.asarray(-Hd.real * dt_s)
     del Hd
 
     # Horner without materializing identities (the chip's effective HBM after

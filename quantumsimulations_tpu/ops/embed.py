@@ -92,10 +92,49 @@ class OperatorSum:
     def to_dense(self) -> np.ndarray:
         """Assemble the full matrix on the host as numpy complex128.
 
-        Each term is expanded by a Kronecker chain over the site list; identity
-        factors are fused by index bookkeeping rather than materialized kron
-        with explicit eyes when possible.
+        Index-arithmetic assembly: the matrix of a product term is sparse
+        (one entry per combination of the factors' local nonzeros), so each
+        term contributes O(dim) scattered entries instead of an O(dim^2) kron
+        chain.  At dim 8192 this is seconds where the kron chain took ~15
+        minutes on a 1-core host; tests validate it against an independent
+        kron oracle.
         """
+        dims = self.dims
+        dim = self.dim
+        n = len(dims)
+        strides = np.ones(n, dtype=np.int64)
+        for k in range(n - 2, -1, -1):
+            strides[k] = strides[k + 1] * dims[k + 1]
+        rows = np.arange(dim, dtype=np.int64)
+        digits = [(rows // strides[k]) % dims[k] for k in range(n)]
+
+        H = np.zeros((dim, dim), dtype=np.complex128)
+        for term in self.terms:
+            # local nonzero entries per factor: lists of (row_digit, col_digit, value)
+            factor_entries = []
+            for site, which in term.factors:
+                M = local_op(dims[site], which)
+                nz = np.nonzero(M)
+                factor_entries.append(
+                    (site, [(int(a), int(b), M[a, b]) for a, b in zip(*nz)])
+                )
+            # cartesian product of the factors' nonzeros
+            from itertools import product as _product
+
+            for combo in _product(*[ents for _, ents in factor_entries]):
+                value = term.coeff
+                mask = np.ones(dim, dtype=bool)
+                col_shift = np.int64(0)
+                for (site, _), (a, b, v) in zip(factor_entries, combo):
+                    value = value * v
+                    mask &= digits[site] == a
+                    col_shift += (b - a) * strides[site]
+                r = rows[mask]
+                H[r, r + col_shift] += value
+        return H
+
+    def to_dense_kron(self) -> np.ndarray:
+        """Reference kron-chain assembly (slow; kept for validation)."""
         dim = self.dim
         H = np.zeros((dim, dim), dtype=np.complex128)
         for term in self.terms:

@@ -168,3 +168,17 @@ def test_to_dense_device_partial_tail_block():
     host = op.to_dense()
     dev = op.to_dense_device(col_block=5).to_numpy()  # 12 = 2*5 + 2
     assert np.allclose(dev, host, atol=1e-14)
+
+
+@pytest.mark.parametrize("dims", [(2, 2, 2), (2, 4, 2), (2, 2, 2, 4)])
+def test_to_dense_index_arithmetic_matches_kron(dims):
+    terms = (
+        ProductTerm(0.7, ((0, "z"),)),
+        ProductTerm(-1.3, ((0, "x"), (1, "x"))),
+        ProductTerm(0.25, ((0, "y"), (len(dims) - 1, "y"))),
+        ProductTerm(1.9, ((1, "z"), (len(dims) - 1, "z"))),
+        ProductTerm(0.5, ((len(dims) - 1, "x"),)),
+        ProductTerm(-0.8, ((1, "p"),)),
+    )
+    op = OperatorSum(dims, terms)
+    assert np.allclose(op.to_dense(), op.to_dense_kron(), atol=1e-14)
