@@ -73,6 +73,21 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
         named.pop("energy", None)
         return t, named
     elif method == "expm":
+        import jax
+
+        if dim >= 2048 and jax.default_backend() != "cpu":
+            # square f64 matmuls through the XLA x64 rewriter OOM at these
+            # sizes; the limb-decomposed step operator is the viable path
+            from .eig_propagator import traces_dict
+            from .expm_propagator import expm_traces_assembled_ozaki
+
+            rows = expm_traces_assembled_ozaki(
+                model.hamiltonian, model.psi0, t, dims,
+                model.n_sea_effective, model.idx_rare,
+            )
+            named = traces_dict(rows)
+            named.pop("energy", None)
+            return t, named
         from .expm_propagator import expm_propagate_traces
 
         out = expm_propagate_traces(model.hamiltonian, model.psi0, t, dims)
