@@ -43,6 +43,7 @@ from .models.geometry import (  # noqa: E402
     dipolar_couplings_from_positions,
 )
 from .dynamics.evolve import simulate_rare  # noqa: E402
+from .models.labframe import simulate_lab_frame  # noqa: E402
 from .analysis.metrics import (  # noqa: E402
     coarse_grain,
     iz_slope_from_coarse,
@@ -57,6 +58,7 @@ __all__ = [
     "shell_positions_with_rare_center",
     "dipolar_couplings_from_positions",
     "simulate_rare",
+    "simulate_lab_frame",
     "coarse_grain",
     "iz_slope_from_coarse",
     "contrast_michelson_with_t_gate",
