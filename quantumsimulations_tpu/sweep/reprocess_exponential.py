@@ -48,6 +48,8 @@ def reprocess_exponential(
     window = coarse_window if coarse_window else int(gp.get("coarse_window", 100))
 
     det_dirs = discover_detuning_dirs(sweep_dir)
+    if not det_dirs:
+        print(f"Warning: no detuning directories (metrics.json) under {sweep_dir}")
     rows: list[dict[str, Any]] = []
 
     plots = None

@@ -262,3 +262,22 @@ def test_sweep_honors_stepping_solvers(tmp_path, method):
     tol = 1e-7 if method == "dopri" else 1e-9
     assert np.allclose(z1["Iz_sea"], z2["Iz_sea"], atol=tol)
     assert np.allclose(z2["state_norm"], 1.0, atol=1e-8)
+
+
+def test_negative_detunings_label_and_artifacts(tmp_path):
+    """Negative detunings exercise the 'delta_mXXX' label path end to end."""
+    base = run_sweep_sea_detuning(
+        f_Az=F_AZ, f1A=F1A, target_sea_detuning=F1A,
+        gamma_sea=GAMMA_SEA, gamma_rare=GAMMA_RARE,
+        sea_detunings_Hz=[-25_000.0, 25_000.0],
+        n_sea=6, t_final=0.01, steps=300,
+        out_root=str(tmp_path), coarse_window=10, make_plots=False,
+    )
+    assert os.path.isdir(os.path.join(base, "delta_m25000.0Hz"))
+    assert os.path.isdir(os.path.join(base, "delta_p25000.0Hz"))
+    from quantumsimulations_tpu.sweep.reprocess import reprocess_sweep
+
+    out = reprocess_sweep(base, coarse_window=15)
+    with open(out) as f:
+        rows = json.load(f)["sweep_results"]
+    assert [r["delta_Hz"] for r in rows] == [-25000.0, 25000.0]
