@@ -11,8 +11,13 @@ per-site expectations (linearity).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# f32 inputs on the TPU MXU default to ONE bf16 pass (~2e-3 error); HIGHEST
+# selects the 3-pass decomposition (f32-grade).  No effect on the f64 path.
+_HI = jax.lax.Precision.HIGHEST
 
 from ..ops.cplx import Cplx
 from ..ops.spin import spin_matrix
@@ -41,8 +46,14 @@ def site_xyz_expectations(states: Cplx, dims: tuple[int, ...]) -> jnp.ndarray:
         pr = states.re.reshape(dl, d, dr, T)
         pi = states.im.reshape(dl, d, dr, T)
         # rho[t, a, b] = sum_{l,r} psi[l,a,r,t] conj(psi[l,b,r,t])
-        rho_re = jnp.einsum("lart,lbrt->tab", pr, pr) + jnp.einsum("lart,lbrt->tab", pi, pi)
-        rho_im = jnp.einsum("lart,lbrt->tab", pi, pr) - jnp.einsum("lart,lbrt->tab", pr, pi)
+        rho_re = (
+            jnp.einsum("lart,lbrt->tab", pr, pr, precision=_HI)
+            + jnp.einsum("lart,lbrt->tab", pi, pi, precision=_HI)
+        )
+        rho_im = (
+            jnp.einsum("lart,lbrt->tab", pi, pr, precision=_HI)
+            - jnp.einsum("lart,lbrt->tab", pr, pi, precision=_HI)
+        )
         s = (d - 1) / 2.0
         per_op = []
         for which in ("x", "y", "z"):
@@ -50,7 +61,10 @@ def site_xyz_expectations(states: Cplx, dims: tuple[int, ...]) -> jnp.ndarray:
             op_re = jnp.asarray(np.real(op))
             op_im = jnp.asarray(np.imag(op))
             # Re tr(rho @ op) = sum_ab rho_re[a,b] op_re[b,a] - rho_im[a,b] op_im[b,a]
-            e = jnp.einsum("tab,ba->t", rho_re, op_re) - jnp.einsum("tab,ba->t", rho_im, op_im)
+            e = (
+                jnp.einsum("tab,ba->t", rho_re, op_re, precision=_HI)
+                - jnp.einsum("tab,ba->t", rho_im, op_im, precision=_HI)
+            )
             per_op.append(e)
         outs.append(jnp.stack(per_op))  # (3, T)
     return jnp.stack(outs)  # (n_sites, 3, T)

@@ -39,14 +39,16 @@ def _cmatmul_kernel(ar_ref, ai_ref, br_ref, bi_ref, cr_ref, ci_ref):
     a_i = ai_ref[:]
     b_r = br_ref[:]
     b_i = bi_ref[:]
-    cr_ref[:] += (
-        jnp.dot(a_r, b_r, preferred_element_type=jnp.float32)
-        - jnp.dot(a_i, b_i, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the v5e MXU multiplies bf16 natively and a default
+    # dot truncates f32 inputs to ONE bf16 pass (~2e-3 error, measured);
+    # HIGHEST selects the 3-pass decomposition (f32-grade, ~1e-6)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
-    ci_ref[:] += (
-        jnp.dot(a_r, b_i, preferred_element_type=jnp.float32)
-        + jnp.dot(a_i, b_r, preferred_element_type=jnp.float32)
-    )
+    cr_ref[:] += dot(a_r, b_r) - dot(a_i, b_i)
+    ci_ref[:] += dot(a_r, b_i) + dot(a_i, b_r)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -125,8 +127,10 @@ def matmul_pallas(a: Cplx, b: Cplx, interpret: bool | None = None) -> Cplx:
 
 def _zexp_kernel(p2_ref, signs_ref, out_ref):
     """out[j, t] = sum_d signs[j, d] * |psi|^2[d, t] — one MXU matmul."""
-    out_ref[:] = jnp.dot(
-        signs_ref[:], p2_ref[:], preferred_element_type=jnp.float32
+    out_ref[:] = jax.lax.dot_general(
+        signs_ref[:], p2_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
 
