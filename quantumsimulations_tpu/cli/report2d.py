@@ -41,8 +41,9 @@ def _percentile_limits(v: np.ndarray, lo=1.0, hi=99.0, pad=0.05):
     return a - d, b + d
 
 
-def _scatter_page(pdf, graphs_dir, idx, name, x, y, color_khz, xlabel, ylabel, zoom=False):
-    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+def _scatter_points(ax, x, y, color_khz) -> int:
+    """Colored scatter with gray fallback for color-missing points
+    (2D_sweep_report.py:180-189); returns the number of gray points."""
     have_color = np.isfinite(color_khz)
     sc = ax.scatter(
         x[have_color], y[have_color],
@@ -50,9 +51,18 @@ def _scatter_page(pdf, graphs_dir, idx, name, x, y, color_khz, xlabel, ylabel, z
         vmin=F1A_CLAMP_KHZ[0], vmax=F1A_CLAMP_KHZ[1],
         s=16, cmap="viridis",
     )
-    if (~have_color).any():
-        ax.scatter(x[~have_color], y[~have_color], color="0.6", s=16)
-    fig.colorbar(sc, ax=ax, label="f1A (kHz)")
+    n_gray = int((~have_color).sum())
+    if n_gray:
+        ax.scatter(x[~have_color], y[~have_color], color="0.5", s=16,
+                   label="color missing")
+        ax.legend(loc="best")
+    ax.figure.colorbar(sc, ax=ax, label="f1A (kHz)")
+    return n_gray
+
+
+def _scatter_page(pdf, graphs_dir, idx, name, x, y, color_khz, xlabel, ylabel, zoom=False):
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    _scatter_points(ax, x, y, color_khz)
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.grid(True, alpha=0.3)
@@ -102,12 +112,19 @@ def main(argv: list[str] | None = None) -> None:
         _scatter_page(pdf, graphs_dir, 2, "contrast_vs_scaled_detuning",
                       x_ratio, pts["contrast"], color,
                       r"$\delta_A / f_{1A}$", "contrast_rare_center")
-        _scatter_page(pdf, graphs_dir, 3, "abs_slope_diff_vs_eta_zoom",
-                      pts["eta"], pts["abs_delta_slope"], color,
-                      r"$\Delta\Omega/|g_{eff}|$", r"$|\Delta$slope$|$", zoom=True)
-        _scatter_page(pdf, graphs_dir, 4, "abs_slope_diff_vs_scaled_detuning_zoom",
-                      x_ratio, pts["abs_delta_slope"], color,
-                      r"$\delta_A / f_{1A}$", r"$|\Delta$slope$|$", zoom=True)
+        # Pages 3-4 use only points with a finite |Δslope| and are skipped
+        # entirely when none exist (legacy summaries without slope fields) —
+        # matching 2D_sweep_report.py:405-411.
+        m_slope = np.isfinite(pts["abs_delta_slope"])
+        if m_slope.any():
+            _scatter_page(pdf, graphs_dir, 3, "abs_slope_diff_vs_eta_zoom",
+                          pts["eta"][m_slope], pts["abs_delta_slope"][m_slope],
+                          color[m_slope],
+                          r"$\Delta\Omega/|g_{eff}|$", r"$|\Delta$slope$|$", zoom=True)
+            _scatter_page(pdf, graphs_dir, 4, "abs_slope_diff_vs_scaled_detuning_zoom",
+                          x_ratio[m_slope], pts["abs_delta_slope"][m_slope],
+                          color[m_slope],
+                          r"$\delta_A / f_{1A}$", r"$|\Delta$slope$|$", zoom=True)
 
         if args.stable:
             stats = stable_region_stats(

@@ -40,6 +40,61 @@ def find_sweep_dirs(root: str) -> list[str]:
     return sorted(out)
 
 
+def _reprocess_param_lines(gp: dict, f1A: float, f1R: float, window: int) -> list[str]:
+    """Global-parameter page text for the reprocessed report, matching the
+    reference's page-1 content (reprocess_sweep_results.py:151-248)."""
+    lines = [
+        "Sea detuning sweep report (REPROCESSED)",
+        "",
+        f"Reprocessed coarse-grain window = {window}",
+        "",
+        "Global parameters (from original sweep):",
+    ]
+
+    def add(fmt: str, key: str, scale: float = 1.0):
+        v = gp.get(key)
+        if v is not None:
+            lines.append(fmt.format(v * scale if isinstance(v, (int, float)) else v))
+
+    add("  f_Az (sea Larmor)     = {:.3f} MHz", "f_Az_Hz", 1e-6)
+    add("  f_Rz (rare Larmor)    = {:.3f} MHz", "f_Rz_Hz", 1e-6)
+    if np.isfinite(f1A):
+        lines.append(f"  f1A (sea Rabi)        = {f1A / 1e3:.3f} kHz")
+    if np.isfinite(f1R):
+        lines.append(f"  f1R (rare Rabi)       = {f1R / 1e3:.3f} kHz")
+    add("  Target sea detuning   = {:.3f} kHz", "target_sea_detuning", 1e-3)
+    add("  gamma_sea             = {:.3e} rad·s⁻¹·T⁻¹", "gamma_sea")
+    add("  gamma_rare            = {:.3e} rad·s⁻¹·T⁻¹", "gamma_rare")
+    add("  B0_common             = {:.3f} T", "B0_common_T")
+    add("  B1_sea                = {:.3e} T", "B1_sea_T")
+    add("  B1_rare               = {:.3e} T", "B1_rare_T")
+    add("  dipolar_scale_SI      = {:.3e}", "dipolar_scale_SI")
+    add("  shell_scale           = {:.3f} nm", "shell_scale_m", 1e9)
+    add("  t_final               = {:.3e} s", "t_final_s")
+    if gp.get("steps") is not None:
+        lines.append(f"  steps                 = {int(gp['steps']):d}")
+    if gp.get("n_sea") is not None:
+        lines.append(f"  n_sea                 = {int(gp['n_sea']):d}")
+    add("  phi_sea               = {:.3f} rad", "phi_sea_rad")
+    add("  phi_rare              = {:.3f} rad", "phi_rare_rad")
+    add("  sea_spin_type         = {}", "sea_spin_type")
+    add("  rare_spin_type        = {}", "rare_spin_type")
+    lines.append("")
+    for key in ("solver_atol", "solver_rtol", "solver_nsteps", "solver_max_step"):
+        lines.append(f"  {key:<21} = {gp.get(key)}")
+    lines.append("")
+    lines.append(f"  coarse_window (orig)  = {gp.get('coarse_window', 'NA')}")
+    lines.append(f"  coarse_window (this)  = {window}")
+    lines.append("")
+    dets = gp.get("sea_detunings_Hz") or []
+    if dets:
+        lines.append("Sea detunings (δ_A = f_Az - f_rf,A) in Hz:")
+        det_strs = [f"{d:+.1f}" for d in dets]
+        for i in range(0, len(det_strs), 6):
+            lines.append("  " + ", ".join(det_strs[i : i + 6]))
+    return lines
+
+
 def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False) -> str:
     """Recompute slope/contrast/eta metrics for one sweep dir; returns the
     path of the written summary JSON.
@@ -66,6 +121,9 @@ def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False
 
         pdf_path = os.path.join(sweep_dir, f"reprocessed{suffix}_report.pdf")
         pdf = PdfPages(pdf_path)
+        # page 1: global-parameter summary for the reprocessed run
+        # (reference reprocess_sweep_results.py:151-248)
+        rpt.param_page(pdf, _reprocess_param_lines(gp, f1A, f1R, window))
 
     new_rows: list[dict[str, Any]] = []
     rows = sorted(summary.get("sweep_results", []), key=lambda r: r.get("delta_Hz", 0.0))
@@ -149,7 +207,13 @@ def reprocess_sweep(sweep_dir: str, coarse_window: int, make_plots: bool = False
     if pdf is not None:
         from ..artifacts import report as rpt
 
-        rpt.summary_table_page(pdf, new_rows)
-        rpt.contrast_vs_eta_page(pdf, sweep_dir, new_rows)
+        # Final pages match the reference reprocessor's tail exactly: full
+        # metrics table (incl. delta-slope columns), addendum table, then the
+        # contrast-vs-eta and |delta slope|-vs-eta scatters, all PDF-only
+        # (reprocess_sweep_results.py:636-786).
+        rpt.reprocess_summary_table_page(pdf, new_rows)
+        rpt.addendum_table_page(pdf, new_rows)
+        rpt.contrast_vs_eta_page(pdf, None, new_rows)
+        rpt.abs_delta_slope_vs_eta_page(pdf, new_rows)
         pdf.close()
     return out_path
