@@ -108,8 +108,6 @@ def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> l
         if solver_method == "eig32"
         else eig_traces_assembled_batched
     )
-    if mesh is not None and solver_method == "eig32":
-        raise ValueError("eig32 is not supported with mesh sharding yet; use eig")
 
     dims = models[0].dims
     dim = int(np.prod(dims))
@@ -132,9 +130,17 @@ def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> l
             idx_rare=grp[0].idx_rare,
         )
         if mesh is not None:
-            from ..parallel.sweep_shard import eig_traces_assembled_sharded
+            from ..parallel.sweep_shard import (
+                eig_traces_assembled_sharded,
+                eig_traces_assembled_sharded32,
+            )
 
-            rows = eig_traces_assembled_sharded(
+            sharded_fn = (
+                eig_traces_assembled_sharded32
+                if solver_method == "eig32"
+                else eig_traces_assembled_sharded
+            )
+            rows = sharded_fn(
                 np.stack(ws), np.stack(Vs), np.stack([m.psi0 for m in grp]),
                 mesh=mesh, **kwargs,
             )
