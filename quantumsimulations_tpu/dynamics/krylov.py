@@ -185,6 +185,68 @@ def make_krylov_step(
     return step, n_sub
 
 
+def krylov_traces_assembled(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    m: int = KRYLOV_M,
+    theta: float = KRYLOV_THETA,
+    norm_bound: float | None = None,
+) -> np.ndarray:
+    """Assembled-observable rows (8, T) by matrix-free Krylov stepping.
+
+    The large-bath single-chip path (N = 14+, where the dense operator no
+    longer fits but the statevector is tiny): same row layout as
+    eig_traces_assembled_batched (TRACE_ROWS), observables assembled on
+    device, transfer flattened (the tunnel moves 1-D arrays fast).  Uses the
+    power-iteration norm estimate by default — the triangle-inequality bound
+    overestimates by 2-4x and costs that factor in substeps.
+    """
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("krylov stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+    if norm_bound is None:
+        norm_bound = min(spectral_norm_bound(H), spectral_norm_estimate(H))
+    step, n_sub = make_krylov_step(H, dt, m=m, theta=theta, norm_bound=norm_bound)
+
+    n_sites = len(dims)
+    sea_mask = jnp.asarray((np.arange(n_sites) < n_sea_effective).astype(np.float64))
+    diag = jnp.asarray(H.diagonal_part())
+    psi_init = Cplx.from_numpy(psi0)
+    # <H> is conserved under unitary stepping; record the t=0 constant
+    hpsi = H.apply(psi_init, diag=diag)
+    e0 = float(np.asarray(jnp.sum(psi_init.re * hpsi.re + psi_init.im * hpsi.im)))
+
+    @partial(jax.jit, static_argnames=("dims_", "idx_rare_"))
+    def scan_all(psi0_, mask, dims_, idx_rare_):
+        def body(psi, _):
+            st = psi.reshape(psi.shape + (1,))
+            xyz = site_xyz_expectations(st, dims_)[..., 0]  # (n, 3)
+            nrm = state_norms(st)[0]
+            sea = jnp.einsum("j,jo->o", mask, xyz)
+            rare = xyz[idx_rare_]
+            row = jnp.stack([sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], nrm])
+            return step(psi), row
+
+        _, rows = jax.lax.scan(body, psi0_, None, length=T)
+        return rows.reshape(-1)  # flat (T*7,) for the tunnel
+
+    flat = np.asarray(scan_all(psi_init, sea_mask, dims, idx_rare))
+    rows = np.empty((8, T))
+    rows[:7] = flat.reshape(T, 7).T
+    rows[7] = e0
+    return rows
+
+
 def krylov_propagate_traces(
     H: OperatorSum,
     psi0: np.ndarray,

@@ -131,6 +131,113 @@ class ShardedHamiltonian:
         return out
 
 
+def krylov_traces_assembled_sharded(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    m: int | None = None,
+    theta: float | None = None,
+) -> np.ndarray:
+    """Full assembled trace (8, T) on a statevector sharded over ``axis``.
+
+    The whole propagation loop — Lanczos substeps with psum inner products,
+    mask-grouped ppermute H applies, AND the per-step observables — runs as
+    one shard_map program.  Observables are evaluated through the same
+    sharded machinery: each named observable (collective sea Ix/Iy/Iz, rare
+    x/y/z) is its own term IR, so <psi|O|psi> = psum(<psi_local | (O psi)_local>)
+    with at most one permute per sharded-site x/y factor.
+
+    This is the SURVEY.md §5 "long-context" slot made concrete: the
+    reference's serial ``qt.sesolve`` loop (sweep_sea_detuning.py:611) for
+    baths beyond single-host reach.
+    """
+    from ..dynamics.krylov import (
+        KRYLOV_M,
+        KRYLOV_THETA,
+        _lanczos_expm_substep,
+        spectral_norm_bound,
+        spectral_norm_estimate,
+    )
+
+    m = KRYLOV_M if m is None else m
+    theta = KRYLOV_THETA if theta is None else theta
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("krylov stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+
+    n_shards = mesh.shape[axis]
+    sh = ShardedHamiltonian(H, n_shards)
+    norm_bound = min(spectral_norm_bound(H), spectral_norm_estimate(H))
+    n_sub = max(1, int(np.ceil(norm_bound * abs(dt) / theta)))
+    dt_sub = dt / n_sub
+
+    # observable term IRs: Ix/Iy/Iz_sea (collective sums), rare x/y/z
+    sea_sites = list(range(n_sea_effective))
+    obs_ops = [
+        OperatorSum.sum_over_sites(dims, sea_sites, w) for w in ("x", "y", "z")
+    ] + [OperatorSum.single_site(dims, idx_rare, w) for w in ("x", "y", "z")]
+    sh_obs = [ShardedHamiltonian(o, n_shards) for o in obs_ops]
+
+    sharding = NamedSharding(mesh, P(axis))
+    diag_H = jax.device_put(jnp.asarray(sh.diag), sharding)
+    diags_obs = jax.device_put(
+        jnp.stack([jnp.asarray(s.diag) for s in sh_obs]),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    psi_re = jax.device_put(jnp.asarray(psi0.real), sharding)
+    psi_im = jax.device_put(jnp.asarray(psi0.imag), sharding)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None, axis)),
+        out_specs=P(),
+    )
+    def run(p_re, p_im, dH, dObs):
+        local_apply = lambda p: sh.local_apply(p, dH, axis)
+
+        def expect(psi: Cplx, i: int) -> jnp.ndarray:
+            opsi = sh_obs[i].local_apply(psi, dObs[i], axis)
+            return jax.lax.psum(
+                jnp.sum(psi.re * opsi.re + psi.im * opsi.im), axis
+            )
+
+        def substep(_, p):
+            return _lanczos_expm_substep(local_apply, p, dt_sub, m, axis_name=axis)
+
+        def body(psi, _):
+            vals = [expect(psi, i) for i in range(6)]  # sea x,y,z, rare x,y,z
+            nrm = jnp.sqrt(jax.lax.psum(jnp.sum(psi.abs2()), axis))
+            row = jnp.stack(
+                [vals[0], vals[1], vals[2], vals[5], vals[3], vals[4], nrm]
+            )
+            nxt = jax.lax.fori_loop(0, n_sub, substep, psi)
+            return nxt, row
+
+        psi = Cplx(p_re, p_im)
+        hpsi = local_apply(psi)
+        e0 = jax.lax.psum(jnp.sum(psi.re * hpsi.re + psi.im * hpsi.im), axis)
+        _, rows = jax.lax.scan(body, psi, None, length=T)
+        return rows, e0
+
+    rows_dev, e0 = jax.jit(run)(psi_re, psi_im, diag_H, diags_obs)
+    rows = np.empty((8, T))
+    rows[:7] = np.asarray(rows_dev).T
+    rows[7] = float(e0)
+    return rows
+
+
 def make_sharded_apply(H: OperatorSum, mesh: Mesh, axis: str = "sp"):
     """Build (apply_fn, diag_device, sharding) for the sharded H psi product.
 

@@ -275,3 +275,58 @@ def test_grid2d_eig32_sharded(tmp_path):
         assert len(s["sweep_results"]) == 3
         for row in s["sweep_results"]:
             assert np.isfinite(row["delta_Hz"])
+
+
+@requires_8
+@pytest.mark.parametrize("sp", [2, 8])
+def test_sharded_krylov_full_trace_matches_eig(sp):
+    """Full sharded Krylov trace (observables + substeps in one shard_map
+    program) against the dense-eig oracle — the large-bath engine's
+    correctness anchor (SURVEY.md §5)."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+    )
+    from quantumsimulations_tpu.parallel.state_sharded import (
+        krylov_traces_assembled_sharded,
+    )
+
+    params = _params(n_sea=5, steps=12, t_final=12 * 1e-5)
+    model = build_model(params)
+    t = np.linspace(0.0, params.t_final, params.steps)
+    mesh = make_mesh(sp, sp=sp)
+
+    rows = krylov_traces_assembled_sharded(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, mesh,
+    )
+    w, V = eigh_host(model.hamiltonian.to_dense())
+    ref = eig_traces_assembled_batched(
+        w[None], V[None], model.psi0[None], t, model.dims,
+        np.asarray([model.n_sea_effective]), model.idx_rare,
+    )[0]
+    assert rows.shape == ref.shape == (8, len(t))
+    assert np.abs(rows[:7] - ref[:7]).max() < 1e-10
+    assert np.allclose(rows[6], 1.0, atol=1e-11)  # norm conservation
+    assert np.allclose(rows[7], ref[7][0], atol=1e-8)  # energy constant
+
+
+def test_krylov_traces_assembled_matches_eig():
+    """Single-device assembled Krylov trace vs the eig propagator."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+    )
+    from quantumsimulations_tpu.dynamics.krylov import krylov_traces_assembled
+
+    params = _params(n_sea=5, steps=12, t_final=12 * 1e-5)
+    model = build_model(params)
+    t = np.linspace(0.0, params.t_final, params.steps)
+    rows = krylov_traces_assembled(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare,
+    )
+    w, V = eigh_host(model.hamiltonian.to_dense())
+    ref = eig_traces_assembled_batched(
+        w[None], V[None], model.psi0[None], t, model.dims,
+        np.asarray([model.n_sea_effective]), model.idx_rare,
+    )[0]
+    assert np.abs(rows[:7] - ref[:7]).max() < 1e-10
