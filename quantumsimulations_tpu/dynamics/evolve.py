@@ -92,9 +92,16 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
 
         out = expm_propagate_traces(model.hamiltonian, model.psi0, t, dims)
     elif method == "krylov":
-        from .krylov import krylov_propagate_traces
+        from .eig_propagator import traces_dict
+        from .krylov import krylov_traces_assembled
 
-        out = krylov_propagate_traces(model.hamiltonian, model.psi0, t, dims)
+        rows = krylov_traces_assembled(
+            model.hamiltonian, model.psi0, t, dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        named = traces_dict(rows)
+        named.pop("energy", None)
+        return t, named
     elif method == "dopri":
         from .dopri import dopri_propagate_traces
 

@@ -71,9 +71,14 @@ def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
 
         out = expm_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
     elif method == "krylov":
-        from ..dynamics.krylov import krylov_propagate_traces
+        from ..dynamics.eig_propagator import traces_dict
+        from ..dynamics.krylov import krylov_traces_assembled
 
-        out = krylov_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
+        rows = krylov_traces_assembled(
+            model.hamiltonian, model.psi0, times, model.dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        return traces_dict(rows)
     elif method == "dopri":
         from ..dynamics.dopri import dopri_propagate_traces
 
