@@ -315,6 +315,174 @@ def expm_traces_assembled_ozaki(
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Fixed-grid extended-precision ("ext") path: the parity-grade large-dim
+# propagator.  The squaring chain amplifies per-product error by
+# 2^(n_squarings + log2(block)) (~2^23 at the N=12 production workload),
+# flooring the plain limb path at ~5e-6 on 30 s traces; the ext chain keeps
+# every operand in an exact 75-bit limb representation (ops/extprec.py), so
+# the amplified truncation stays ~1e-10 — QuTiP-parity grade with NO host
+# eigendecomposition (replaces qt.sesolve at dipolar_ensemble_with_rare.py:653
+# at the N=12 size the reference cannot reach).
+# ---------------------------------------------------------------------------
+
+_EXT_THETA = 1.0 / 16.0  # ||H|| * dt_scaled bound for the Taylor core
+_EXT_DEGREE = 10  # truncation (theta^11/11!) ~ 1.4e-21, << the limb floor
+_EXT_ADV_LIMBS = 12  # limbs of U_B used in the (linear-error) advance chain
+
+
+def _ext_expm(H: OperatorSum, dt: float):
+    """U = exp(-i H dt) as canonical ext limb stacks (re, im planes).
+
+    Python-driven loop of jitted ext products; every product is synced (async
+    dispatch would hold several limb transients at once — the round-1 OOM
+    lesson).
+    """
+    from ..ops.extprec import (
+        ext_add_identity,
+        ext_cmatmul_jit,
+        ext_split,
+        ext_taylor_horner,
+        taylor_coeff_limbs,
+    )
+    from .krylov import spectral_norm_estimate
+
+    Hd = H.to_dense()
+    norm = min(spectral_norm_bound(H), spectral_norm_estimate(H))
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
+    dt_s = dt / (2**n_sq)
+
+    split = jax.jit(ext_split)
+    Are = split(jnp.asarray(Hd.imag * dt_s))
+    Aim = split(jnp.asarray(-Hd.real * dt_s))
+    jax.block_until_ready(Are)
+    del Hd
+
+    # Horner D = exp(A) - I, one program;  U = I + D;  then n_sq squarings
+    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
+    D_re, D_im = ext_taylor_horner(Are, Aim, coeffs, _EXT_DEGREE)
+    jax.block_until_ready(D_re)
+    del Are, Aim
+    U_re = ext_add_identity(D_re)
+    U_im = D_im
+    del D_re, D_im
+
+    for _ in range(n_sq):
+        n_re, n_im = ext_cmatmul_jit(U_re, U_im, U_re, U_im)
+        jax.block_until_ready(n_re)
+        U_re, U_im = n_re, n_im
+    return U_re, U_im
+
+
+@partial(jax.jit, static_argnames=("n_limbs",))
+def _ext_apply_blocks(Lr, Li, S_re, S_im, n_limbs: int):
+    """(ext U limbs, scale 1) @ f64 state block, complex."""
+    from ..ops.extprec import matmul_f64_prelimbed
+
+    one = jnp.asarray(1.0, jnp.float64)
+    rr = matmul_f64_prelimbed(Lr, one, S_re, n_limbs=n_limbs)
+    ii = matmul_f64_prelimbed(Li, one, S_im, n_limbs=n_limbs)
+    ri = matmul_f64_prelimbed(Lr, one, S_im, n_limbs=n_limbs)
+    ir = matmul_f64_prelimbed(Li, one, S_re, n_limbs=n_limbs)
+    return rr - ii, ri + ir
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "dims", "idx_rare", "n_limbs"))
+def _ext_advance_scan(
+    Lr, Li, S_re, S_im, sea_mask, e0, n_blocks: int, dims, idx_rare: int, n_limbs: int
+):
+    """The whole block-advance trace loop as ONE device program.
+
+    The round-1 per-block host dispatch loop spent ~4 s/block in relay
+    round-trips (~600 s of a 828 s N=12 trace); a lax.scan with the limb
+    stacks as carried-in ARGUMENTS (never closure constants) makes it one
+    dispatch.
+    """
+    from ..ops.extprec import matmul_f64_prelimbed
+
+    one = jnp.asarray(1.0, jnp.float64)
+
+    def body(S, _):
+        S_re, S_im = S
+        states = Cplx(S_re, S_im)
+        xyz = site_xyz_expectations(states, dims)
+        norms = state_norms(states)
+        sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+        rare = xyz[idx_rare]
+        rows = jnp.stack(
+            [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
+             jnp.full(norms.shape, e0)]
+        )
+        rr = matmul_f64_prelimbed(Lr, one, S_re, n_limbs=n_limbs)
+        ii = matmul_f64_prelimbed(Li, one, S_im, n_limbs=n_limbs)
+        ri = matmul_f64_prelimbed(Lr, one, S_im, n_limbs=n_limbs)
+        ir = matmul_f64_prelimbed(Li, one, S_re, n_limbs=n_limbs)
+        return (rr - ii, ri + ir), rows
+
+    _, rows = jax.lax.scan(body, (S_re, S_im), None, length=n_blocks)
+    return rows.reshape(-1)  # flat for the tunnel
+
+
+def expm_traces_assembled_ext(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    block: int = 128,
+) -> np.ndarray:
+    """Assembled rows (8, T) via the ext (parity-grade) step operator."""
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("expm stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+    dim = int(np.prod(dims))
+    block = min(block, T)
+    block = 1 << (block.bit_length() - 1)  # power of two for the doubling pass
+    n_blocks = int(np.ceil(T / block))
+
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+    hdiag = jnp.asarray(H.diagonal_part())
+    p0c = Cplx(jnp.asarray(psi0.real), jnp.asarray(psi0.imag))
+    hp0 = H.apply(p0c, diag=hdiag)
+    e0 = jnp.sum(p0c.re * hp0.re + p0c.im * hp0.im)
+    e0.block_until_ready()
+    del hp0
+
+    U_re, U_im = _ext_expm(H, dt)
+
+    # doubling pass: S holds the first `block` states, P -> U^block (ext)
+    from ..ops.extprec import ext_cmatmul_jit
+
+    S_re = jnp.asarray(psi0.real)[:, None]
+    S_im = jnp.asarray(psi0.imag)[:, None]
+    nl = _EXT_ADV_LIMBS
+    for _ in range(int(np.log2(block))):
+        ns_re, ns_im = _ext_apply_blocks(U_re[:nl], U_im[:nl], S_re, S_im, nl)
+        jax.block_until_ready(ns_re)
+        S_re = jnp.concatenate([S_re, ns_re], axis=1)
+        S_im = jnp.concatenate([S_im, ns_im], axis=1)
+        P_re, P_im = ext_cmatmul_jit(U_re, U_im, U_re, U_im)
+        jax.block_until_ready(P_re)
+        U_re, U_im = P_re, P_im
+
+    flat = _ext_advance_scan(
+        U_re[:nl], U_im[:nl], S_re, S_im, sea_mask, e0,
+        n_blocks, dims, idx_rare, nl,
+    )
+    arr = np.asarray(flat).reshape(n_blocks, 8, block)
+    return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]
+
+
 def expm_propagate_traces(
     H: OperatorSum,
     psi0: np.ndarray,

@@ -165,3 +165,326 @@ def cmatmul_f64(
 def cmatmul_f64_cplx(a: Cplx, b: Cplx, **kw) -> Cplx:
     re, im = cmatmul_f64(a.re, a.im, b.re, b.im, **kw)
     return Cplx(re, im)
+
+
+# ===========================================================================
+# Fixed-grid extended precision ("ext"): ~70-bit matrices as canonical 5-bit
+# limb stacks on a FIXED power-of-two grid.
+#
+# The expm squaring chain amplifies per-matmul rounding by 2^n_squarings
+# (~2^23 for the N=12 production workload), so f64 (even carefully
+# accumulated, ~1e-14/matmul) floors the trace at ~1e-6.  Here every chain
+# operand stays in an exact limb representation:
+#
+#   value = sum_j l_j * 2^(EXT_E - 5*(j+1)),   l_j integer, |l_j| <= 16
+#
+# All chain values are bounded (|entries| <= e^theta < 2 for the Taylor
+# core, <= 1 for unitaries), so the grid never moves: products land exactly
+# ON grid positions, diagonal sums are exact integers in f64, and
+# renormalization is an exact rint carry cascade — NO floating-point
+# rounding anywhere except the final truncation at 5*EXT_LIMBS-ish bits.
+# Classic two-sum/Dekker compensation is NOT used anywhere: XLA's
+# --xla_allow_excess_precision rewrites it away on this backend; integer
+# limb arithmetic is immune.
+#
+# Cost: ~L(L+1)/2 bf16 MXU matmuls per real product (L=EXT_LIMBS), i.e.
+# ~1.6x the single-f64 limb scheme above, for ~70-bit precision.
+# ===========================================================================
+
+EXT_LIMBS = 15  # 15 * 5 = 75 bits below the grid top
+EXT_GUARD = 2  # extra product diagonals computed below the last kept limb
+# Fixed grid top exponent.  Must be a MULTIPLE OF 5 so that products of two
+# grid-aligned limbs land exactly on grid positions (s = j + i); chain values
+# are bounded well below 2^EXT_E (|entries| <= e^theta ~ 1.07), so the top
+# limb is tiny and resolution is 2^(EXT_E - 5*EXT_LIMBS) = 2^-65 absolute.
+EXT_E = 5
+
+
+def _ext_w(j: int) -> float:
+    """Weight of limb j (static python float, exact power of two)."""
+    return float(2.0 ** (EXT_E - 5 * (j + 1)))
+
+
+def ext_split(x: jnp.ndarray, L: int = EXT_LIMBS) -> jnp.ndarray:
+    """f64 -> (L, ...) bf16 canonical limbs on the fixed grid (exact ops)."""
+    limbs = []
+    r = x * (2.0 ** (5 - EXT_E))  # |r| < 2^5 for |x| < 2^EXT_E
+    for _ in range(L):
+        l = jnp.rint(r)
+        limbs.append(l.astype(jnp.bfloat16))
+        r = (r - l) * 32.0
+    return jnp.stack(limbs)
+
+
+def ext_val(limbs: jnp.ndarray) -> jnp.ndarray:
+    """(L, ...) limbs -> f64 value (smallest-significance first)."""
+    L = limbs.shape[0]
+    out = jnp.zeros(limbs.shape[1:], jnp.float64)
+    for j in range(L - 1, -1, -1):
+        out = out + limbs[j].astype(jnp.float64) * _ext_w(j)
+    return out
+
+
+def _ext_carry(d: jnp.ndarray) -> jnp.ndarray:
+    """Exact carry cascade: (L, ...) f64 integer digits -> canonical bf16 limbs.
+
+    Digits may be up to ~2^30; carries propagate toward significance (j-1).
+    The top carry is folded into limb 0 (values stay within the grid by
+    construction of the callers: |value| < 2^EXT_E).
+    """
+    L = d.shape[0]
+    limbs = [None] * L
+    carry = jnp.zeros_like(d[0])
+    for j in range(L - 1, 0, -1):
+        t = d[j] + carry
+        carry = jnp.rint(t * (1.0 / 32.0))
+        limbs[j] = (t - carry * 32.0).astype(jnp.bfloat16)
+    limbs[0] = (d[0] + carry).astype(jnp.bfloat16)
+    return jnp.stack(limbs)
+
+
+def ext_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact sum of two canonical ext stacks (same fixed grid)."""
+    return _ext_carry(a.astype(jnp.float64) + b.astype(jnp.float64))
+
+
+def ext_neg(a: jnp.ndarray) -> jnp.ndarray:
+    return (-a.astype(jnp.float64)).astype(jnp.bfloat16)
+
+
+def ext_scalar_limbs(c, L: int = EXT_LIMBS) -> tuple[float, ...]:
+    """Static 5-bit signed limb expansion of a host scalar on grid e=0:
+
+        c = sum_i s_i * 2^(-5*(i+1)),  |s_i| <= 16  (exact to 5L bits)
+
+    Requires |c| < 1 (Taylor 1/k coefficients).  Accepts float or Fraction;
+    pass a Fraction for exact rationals (float 1/k is already rounded).
+    """
+    from fractions import Fraction
+
+    assert abs(c) < 1.0
+    r = Fraction(c)
+    out = []
+    for _ in range(L):
+        r *= 32
+        s = int(round(r))
+        out.append(float(s))
+        r -= s
+    return tuple(out)
+
+
+def ext_scalar_mul(a: jnp.ndarray, c_limbs: tuple[float, ...]) -> jnp.ndarray:
+    """Exact ext * static-scalar product (scalar on grid e=0, |c| < 1).
+
+    Limb j (weight 2^(E-5(j+1))) times scalar limb i (weight 2^(-5(i+1)))
+    lands exactly on grid position j+i+1; positions >= L truncate (~2^-5L).
+    """
+    L = a.shape[0]
+    af = a.astype(jnp.float64)
+    d = []
+    for m in range(L + EXT_GUARD):
+        acc = jnp.zeros_like(af[0])
+        for i, ci in enumerate(c_limbs):
+            j = m - 1 - i
+            if 0 <= j < L and ci != 0.0:
+                acc = acc + af[j] * ci
+        d.append(acc)
+    return _ext_carry(jnp.stack(d))[:L]
+
+
+def ext_cmatmul(
+    are: jnp.ndarray,
+    aim: jnp.ndarray,
+    bre: jnp.ndarray,
+    bim: jnp.ndarray,
+    panel: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-to-truncation complex matmul of canonical ext stacks.
+
+    Inputs/outputs: (L, M, K) / (L, K, N) bf16 canonical limbs on the fixed
+    grid.  Each limb-pair product is an exact integer bf16 MXU pass (bounded
+    K * 2^10 < 2^23 in the f32 accumulator); significance diagonals are exact
+    integer f64 sums; the carry cascade renormalizes.  The ONLY error is the
+    truncation of diagonals >= L (~2^(EXT_E-5L) absolute).
+
+    Grid bookkeeping: limb j carries weight 2^(E-5(j+1)); with E = 5 the
+    product of limbs (j, i) has weight 2^(10-5(j+i+2)) = 2^(5-5(j+i+1)) =
+    w(j+i): it lands exactly ON output grid position s = j + i.  Diagonals
+    s >= L are truncated (absolute error ~2^(E-5L)).
+
+    Column-panel loop bounds the f64 diagonal workspace to (L, M, panel).
+    """
+    assert EXT_E == 5, "product grid alignment requires EXT_E == 5"
+    L, M, K = are.shape
+    N = bre.shape[2]
+    assert N % panel == 0 or N <= panel, (N, panel)
+    panel = min(panel, N)
+    n_panels = N // panel
+
+    def one_panel(b_re_p, b_im_p):
+        d_re = []
+        d_im = []
+        # EXT_GUARD extra diagonals below the last kept limb: their exact
+        # digits feed carries upward in the cascade, shrinking the truncation
+        # bound by 2^5 per guard; the canonical guard limbs are then dropped
+        # (<= 16 * w(L) each, deterministic).
+        for s in range(L + EXT_GUARD):
+            acc_re = None
+            acc_im = None
+            # product of limbs (j, i) with j + i == s, both < L
+            for j in range(max(0, s - L + 1), min(s + 1, L)):
+                i = s - j
+                rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.float32)
+                ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
+                ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
+                ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
+                re_c = rr.astype(jnp.float64) - ii.astype(jnp.float64)
+                im_c = ri.astype(jnp.float64) + ir.astype(jnp.float64)
+                acc_re = re_c if acc_re is None else acc_re + re_c
+                acc_im = im_c if acc_im is None else acc_im + im_c
+            d_re.append(acc_re)
+            d_im.append(acc_im)
+        return (
+            _ext_carry(jnp.stack(d_re))[:L],
+            _ext_carry(jnp.stack(d_im))[:L],
+        )
+
+    if n_panels <= 1:
+        return one_panel(bre, bim)
+
+    # write panels into carried output buffers (in-place in the scan carry):
+    # peak memory stays at two full stacks + one panel workspace, and no
+    # (n_panels, L, M, panel) -> (L, M, N) relayout copy is materialized.
+    def body(carry, p):
+        c_re, c_im = carry
+        b_re_p = jax.lax.dynamic_slice_in_dim(bre, p * panel, panel, axis=2)
+        b_im_p = jax.lax.dynamic_slice_in_dim(bim, p * panel, panel, axis=2)
+        o_re, o_im = one_panel(b_re_p, b_im_p)
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, o_re, p * panel, axis=2)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, o_im, p * panel, axis=2)
+        return (c_re, c_im), None
+
+    init = (
+        jnp.zeros((L, M, N), jnp.bfloat16),
+        jnp.zeros((L, M, N), jnp.bfloat16),
+    )
+    (c_re, c_im), _ = jax.lax.scan(body, init, jnp.arange(n_panels))
+    return c_re, c_im
+
+
+ext_cmatmul_jit = jax.jit(ext_cmatmul, static_argnames=("panel",))
+
+
+def _ext_scalar_mul_traced(a: jnp.ndarray, cl: jnp.ndarray) -> jnp.ndarray:
+    """ext * scalar with TRACED scalar limbs cl (Lc,) — for loop-carried
+    coefficients (e.g. Taylor 1/k indexed by a fori counter)."""
+    L = a.shape[0]
+    Lc = cl.shape[0]
+    af = a.astype(jnp.float64)
+    d = []
+    for m in range(L + EXT_GUARD):
+        acc = jnp.zeros_like(af[0])
+        for i in range(min(Lc, m)):
+            j = m - 1 - i
+            if 0 <= j < L:
+                acc = acc + af[j] * cl[i]
+        d.append(acc)
+    return _ext_carry(jnp.stack(d))[:L]
+
+
+def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L):
+    """Exact diagonals + carry for (full ext A) @ (ext B panel)."""
+    d_re = []
+    d_im = []
+    for s in range(L + EXT_GUARD):
+        acc_re = None
+        acc_im = None
+        for j in range(max(0, s - L + 1), min(s + 1, L)):
+            i = s - j
+            rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.float32)
+            ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
+            ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
+            ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
+            re_c = rr.astype(jnp.float64) - ii.astype(jnp.float64)
+            im_c = ri.astype(jnp.float64) + ir.astype(jnp.float64)
+            acc_re = re_c if acc_re is None else acc_re + re_c
+            acc_im = im_c if acc_im is None else acc_im + im_c
+        d_re.append(acc_re)
+        d_im.append(acc_im)
+    return _ext_carry(jnp.stack(d_re))[:L], _ext_carry(jnp.stack(d_im))[:L]
+
+
+@partial(jax.jit, static_argnames=("degree", "panel"))
+def ext_taylor_horner(
+    are: jnp.ndarray,
+    aim: jnp.ndarray,
+    coeff_limbs: jnp.ndarray,  # (degree+1, Lc) f64: limbs of 1/k at row k
+    degree: int,
+    panel: int = 512,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """D = Horner(exp(A) - I) entirely in the exact limb domain, ONE program.
+
+    Each COLUMN PANEL of D evolves independently through all Horner
+    iterations (D <- A + (A @ D) / k touches D columnwise), so peak memory is
+    A + the output + one panel workspace — the third full stack a naive
+    product chain would hold never exists.
+    """
+    L, M, N = are.shape
+    panel = min(panel, N)
+    n_panels = N // panel
+
+    def taylor_panel(p):
+        d_re = jax.lax.dynamic_slice_in_dim(are, p * panel, panel, axis=2)
+        d_im = jax.lax.dynamic_slice_in_dim(aim, p * panel, panel, axis=2)
+        a_re_p, a_im_p = d_re, d_im
+
+        def body(i, dd):
+            k = degree - i  # k runs degree .. 2
+            d_re, d_im = dd
+            p_re, p_im = _ext_cpanel_product(are, aim, d_re, d_im, L)
+            cl = coeff_limbs[k]
+            p_re = _ext_scalar_mul_traced(p_re, cl)
+            p_im = _ext_scalar_mul_traced(p_im, cl)
+            return (ext_add(a_re_p, p_re), ext_add(a_im_p, p_im))
+
+        return jax.lax.fori_loop(0, degree - 1, body, (d_re, d_im))
+
+    if n_panels <= 1:
+        return taylor_panel(0)
+
+    def scan_body(carry, p):
+        c_re, c_im = carry
+        o_re, o_im = taylor_panel(p)
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, o_re, p * panel, axis=2)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, o_im, p * panel, axis=2)
+        return (c_re, c_im), None
+
+    init = (
+        jnp.zeros((L, M, N), jnp.bfloat16),
+        jnp.zeros((L, M, N), jnp.bfloat16),
+    )
+    (c_re, c_im), _ = jax.lax.scan(scan_body, init, jnp.arange(n_panels))
+    return c_re, c_im
+
+
+def taylor_coeff_limbs(degree: int, Lc: int = EXT_LIMBS) -> np.ndarray:
+    """(degree+1, Lc) exact limb expansions of 1/k (row k; rows 0,1 unused)."""
+    from fractions import Fraction
+
+    out = np.zeros((degree + 1, Lc))
+    for k in range(2, degree + 1):
+        out[k] = np.asarray(ext_scalar_limbs(Fraction(1, k), Lc))
+    return out
+
+
+@jax.jit
+def ext_add_identity(a: jnp.ndarray) -> jnp.ndarray:
+    """a + I in the limb domain (1.0 sits exactly on limb 0: w(0) = 1)."""
+    n = a.shape[1]
+    eye = jnp.eye(n, dtype=jnp.float64)
+    return a.at[0].set((a[0].astype(jnp.float64) + eye).astype(jnp.bfloat16))
+
+
+ext_scalar_mul_jit = jax.jit(ext_scalar_mul, static_argnums=(1,))
+ext_add_jit = jax.jit(ext_add)
+ext_val_jit = jax.jit(ext_val)

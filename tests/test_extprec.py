@@ -105,3 +105,128 @@ def test_expm_ozaki_traces_match_eig():
     assert rows.shape == exact.shape
     # observables + norm rows
     assert np.allclose(rows[:7], exact[:7], atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid extended precision ("ext"): exactness against Python Fractions
+# and the parity-grade ext expm chain.
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+import jax.numpy as jnp
+
+from quantumsimulations_tpu.ops.extprec import (
+    EXT_E,
+    EXT_GUARD,
+    EXT_LIMBS,
+    ext_add,
+    ext_cmatmul,
+    ext_scalar_limbs,
+    ext_scalar_mul,
+    ext_split,
+    ext_val,
+)
+
+
+def _frac_of(limbs):
+    """Exact Fraction value of a limb stack (entrywise)."""
+    lf = np.asarray(limbs, dtype=np.float64)
+    L = lf.shape[0]
+    out = [[Fraction(0)] * lf.shape[2] for _ in range(lf.shape[1])]
+    for j in range(L):
+        w = Fraction(2) ** (EXT_E - 5 * (j + 1))
+        for r in range(lf.shape[1]):
+            for c in range(lf.shape[2]):
+                out[r][c] += Fraction(int(lf[j, r, c])) * w
+    return out
+
+
+def test_ext_split_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.1, 1.1, (16, 16))
+    rt = np.asarray(ext_val(ext_split(jnp.asarray(x))))
+    assert np.abs(rt - x).max() <= 2.0 ** (EXT_E - 5 * EXT_LIMBS)
+
+
+def test_ext_cmatmul_exact_vs_fractions():
+    """The ext complex matmul is exact to its truncation bound — verified
+    against arbitrary-precision rational arithmetic."""
+    rng = np.random.default_rng(1)
+    M = 12
+    ar, ai = rng.uniform(-1.1, 1.1, (2, M, M))
+    br, bi = rng.uniform(-1.1, 1.1, (2, M, M))
+    Are, Aim = ext_split(jnp.asarray(ar)), ext_split(jnp.asarray(ai))
+    Bre, Bim = ext_split(jnp.asarray(br)), ext_split(jnp.asarray(bi))
+    Cre, Cim = ext_cmatmul(Are, Aim, Bre, Bim, panel=M)
+    fa_re, fa_im, fb_re, fb_im = map(_frac_of, (Are, Aim, Bre, Bim))
+    fc_re, fc_im = _frac_of(Cre), _frac_of(Cim)
+    wLG = Fraction(2) ** (EXT_E - 5 * (EXT_LIMBS + EXT_GUARD + 1))
+    wL = Fraction(2) ** (EXT_E - 5 * (EXT_LIMBS + 1))
+    tol = 2 * (EXT_LIMBS * M * 512 * wLG * 2 + EXT_GUARD * 16 * wL)
+    worst = Fraction(0)
+    for r in range(M):
+        for c in range(M):
+            er = sum(fa_re[r][k] * fb_re[k][c] - fa_im[r][k] * fb_im[k][c] for k in range(M))
+            ei = sum(fa_re[r][k] * fb_im[k][c] + fa_im[r][k] * fb_re[k][c] for k in range(M))
+            worst = max(worst, abs(fc_re[r][c] - er), abs(fc_im[r][c] - ei))
+    assert worst < tol, float(worst)
+
+
+def test_ext_scalar_mul_and_add_exact():
+    rng = np.random.default_rng(2)
+    M = 10
+    a = ext_split(jnp.asarray(rng.uniform(-1.1, 1.1, (M, M))))
+    b = ext_split(jnp.asarray(rng.uniform(-1.1, 1.1, (M, M))))
+    cl = ext_scalar_limbs(Fraction(1, 7))
+    cf = sum(Fraction(int(x)) * Fraction(2) ** (-5 * (i + 1)) for i, x in enumerate(cl))
+    sf = _frac_of(ext_scalar_mul(a, cl))
+    af = _frac_of(a)
+    worst = max(
+        abs(float(sf[r][c] - af[r][c] * cf)) for r in range(M) for c in range(M)
+    )
+    assert worst < 1e-21
+    df = _frac_of(ext_add(a, b))
+    bf = _frac_of(b)
+    assert all(
+        df[r][c] == af[r][c] + bf[r][c] for r in range(M) for c in range(M)
+    )
+
+
+def test_ext_expm_traces_parity():
+    """The ext step-operator trace matches the eig path to parity grade on a
+    horizon where the f64 eigensolver's own phase error is negligible
+    (eigenvalue rounding ~eps*||H|| -> ~1e-9*t rad; see VERDICT r1 item 2)."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+        eigh_host,
+    )
+    from quantumsimulations_tpu.dynamics.expm_propagator import (
+        expm_traces_assembled_ext,
+    )
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    p = DipolarRareParams(
+        n_sea=4, gamma_sea=gamma, gamma_rare=6.976e7, B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma, B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=1.0, steps=400, drive_sea=True, drive_rare=True,
+        is_spin_three_half=False, is_center_rare=True,
+    )
+    m = build_model(p)
+    t = np.linspace(0, p.t_final, p.steps)
+    w, V = eigh_host(m.hamiltonian.to_dense())
+    exact = eig_traces_assembled_batched(
+        w[None], V[None], m.psi0[None], t, m.dims,
+        np.asarray([m.n_sea_effective]), m.idx_rare,
+    )[0]
+    rows = expm_traces_assembled_ext(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare, block=64,
+    )
+    assert rows.shape == exact.shape
+    assert np.abs(rows[:6] - exact[:6]).max() < 5e-9
+    assert np.abs(rows[6] - 1.0).max() < 1e-12  # norm conservation
