@@ -9,6 +9,8 @@ Solver dispatch (params.solver_method):
                Hilbert dims where a host eigensolve is cheap).
   * "expm"   — on-device scaling-and-squaring step operator + blocked matmul
                propagation (exact to ~1e-13; large dense dims).
+  * "ext"    — exact-limb (75-bit) step-operator chain: parity-grade (~1e-9)
+               at large dense dims where the f64 squaring chain floors out.
   * "krylov" — matrix-free Lanczos expm-multiply (large / sharded dims).
   * "dopri"  — adaptive Dormand–Prince (time-dependent Hamiltonians).
   * "auto"   — pick by Hilbert dimension.
@@ -70,6 +72,20 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
             np.asarray([model.n_sea_effective]), model.idx_rare,
         )
         named = traces_dict(rows[0])
+        named.pop("energy", None)
+        return t, named
+    elif method == "ext":
+        # parity-grade dense step operator: exact-limb (75-bit) Taylor +
+        # squaring chain — no rounding amplification across the squarings
+        # (ops/extprec.py "ext" tier); the large-dense-dim 1e-8 path.
+        from .eig_propagator import traces_dict
+        from .expm_propagator import expm_traces_assembled_ext
+
+        rows = expm_traces_assembled_ext(
+            model.hamiltonian, model.psi0, t, dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        named = traces_dict(rows)
         named.pop("energy", None)
         return t, named
     elif method == "expm":

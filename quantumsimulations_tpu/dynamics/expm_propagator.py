@@ -125,13 +125,13 @@ def _ozaki_expm(H: OperatorSum, dt: float):
     """
     from ..ops.extprec import cmatmul_f64, limbs_of, matmul_f64_prelimbed
 
-    from .krylov import spectral_norm_estimate
+    from .krylov import spectral_norm_estimate_dense
 
     Hd = H.to_dense()  # index-arithmetic assembly: ~1 s even at dim 8192
     dim = Hd.shape[0]
     # power-iteration estimate: the triangle-inequality bound costs 1-2 extra
     # squarings, each doubling the limb-matmul rounding amplification
-    norm = min(spectral_norm_bound(H), spectral_norm_estimate(H))
+    norm = min(spectral_norm_bound(H), spectral_norm_estimate_dense(Hd))
     x = norm * abs(dt)
     n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _TAYLOR_THETA))))
     dt_s = dt / (2**n_sq)
@@ -331,48 +331,87 @@ _EXT_DEGREE = 10  # truncation (theta^11/11!) ~ 1.4e-21, << the limb floor
 _EXT_ADV_LIMBS = 12  # limbs of U_B used in the (linear-error) advance chain
 
 
-def _ext_expm(H: OperatorSum, dt: float):
-    """U = exp(-i H dt) as canonical ext limb stacks (re, im planes).
+@partial(
+    jax.jit,
+    static_argnames=("n_sq", "degree", "log2_block", "nl", "panel"),
+)
+def _ext_expm_program(
+    h_im_dt,
+    h_negre_dt,
+    p_re,
+    p_im,
+    coeffs,
+    n_sq: int,
+    degree: int,
+    log2_block: int,
+    nl: int,
+    panel: int,
+):
+    """ONE device program: (seed states, U^block limbs) from H and psi0.
 
-    Python-driven loop of jitted ext products; every product is synced (async
-    dispatch would hold several limb transients at once — the round-1 OOM
-    lesson).
+    Pipeline (everything in the exact limb domain):
+      A = ext_split(-i H dt / 2^n_sq)            # exact 75-bit limbs
+      U = I + Horner(exp(A) - I)                  # panel-wise, exact
+      U = U^(2^n_sq)                              # fori of exact squarings
+      U -> first `nl` limbs (the advance chain's linear-error budget)
+      doubling pass (fori, padded state buffer):  # seeds + U^block together
+        S[:, 2^k:2^{k+1}] = U^(2^k) @ S[:, :2^k];  U <- U @ U
+    Returns (S_re, S_im, B_re, B_im) with B = U^block as nl-limb stacks.
+
+    Fusing the chain into one dispatch matters twice on this backend: each
+    extra program costs seconds of relay round-trip latency through the TPU
+    tunnel, and XLA's buffer liveness lets the squaring fori alias its carry
+    (the round-1 per-product dispatch loop had to sync after every product to
+    avoid queued transients OOMing at dim 8192).
     """
     from ..ops.extprec import (
         ext_add_identity,
-        ext_cmatmul_jit,
+        ext_cmatmul,
         ext_split,
         ext_taylor_horner,
-        taylor_coeff_limbs,
     )
-    from .krylov import spectral_norm_estimate
 
-    Hd = H.to_dense()
-    norm = min(spectral_norm_bound(H), spectral_norm_estimate(H))
-    x = norm * abs(dt)
-    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
-    dt_s = dt / (2**n_sq)
-
-    split = jax.jit(ext_split)
-    Are = split(jnp.asarray(Hd.imag * dt_s))
-    Aim = split(jnp.asarray(-Hd.real * dt_s))
-    jax.block_until_ready(Are)
-    del Hd
-
-    # Horner D = exp(A) - I, one program;  U = I + D;  then n_sq squarings
-    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
-    D_re, D_im = ext_taylor_horner(Are, Aim, coeffs, _EXT_DEGREE)
-    jax.block_until_ready(D_re)
-    del Are, Aim
+    Are = ext_split(h_im_dt)
+    Aim = ext_split(h_negre_dt)
+    D_re, D_im = ext_taylor_horner(Are, Aim, coeffs, degree)
     U_re = ext_add_identity(D_re)
     U_im = D_im
-    del D_re, D_im
 
-    for _ in range(n_sq):
-        n_re, n_im = ext_cmatmul_jit(U_re, U_im, U_re, U_im)
-        jax.block_until_ready(n_re)
-        U_re, U_im = n_re, n_im
-    return U_re, U_im
+    def sq_full(_, UU):
+        ur, ui = UU
+        return ext_cmatmul(ur, ui, ur, ui, panel=panel)
+
+    if n_sq > 0:
+        U_re, U_im = jax.lax.fori_loop(0, n_sq, sq_full, (U_re, U_im))
+
+    # truncate to the advance-chain limb budget; the remaining squarings and
+    # all applies accumulate error linearly (~2^-(5*nl) per op)
+    B_re, B_im = U_re[:nl], U_im[:nl]
+
+    block = 1 << log2_block
+    dim = h_im_dt.shape[0]
+    S_re = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p_re)
+    S_im = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p_im)
+
+    def dbl(k, carry):
+        S_re, S_im, B_re, B_im = carry
+        # apply U^(2^k) to the WHOLE padded buffer (dead columns are garbage,
+        # overwritten below or never read); shift live columns by 2^k steps
+        n_re, n_im = _ext_apply_blocks(B_re, B_im, S_re, S_im, nl)
+        w = 1 << k
+        mask = (jnp.arange(block) >= w) & (jnp.arange(block) < 2 * w)
+        shifted_re = jnp.roll(n_re, 1 << k, axis=1)
+        shifted_im = jnp.roll(n_im, 1 << k, axis=1)
+        S_re = jnp.where(mask[None, :], shifted_re, S_re)
+        S_im = jnp.where(mask[None, :], shifted_im, S_im)
+        B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
+        return S_re, S_im, B_re, B_im
+
+    if log2_block > 0:
+        S_re, S_im, B_re, B_im = jax.lax.fori_loop(
+            0, log2_block, dbl, (S_re, S_im, B_re, B_im)
+        )
+    return S_re, S_im, B_re, B_im
 
 
 @partial(jax.jit, static_argnames=("n_limbs",))
@@ -432,8 +471,16 @@ def expm_traces_assembled_ext(
     n_sea_effective: int,
     idx_rare: int,
     block: int = 128,
+    panel: int = 512,
 ) -> np.ndarray:
-    """Assembled rows (8, T) via the ext (parity-grade) step operator."""
+    """Assembled rows (8, T) via the ext (parity-grade) step operator.
+
+    Three device dispatches total: the norm power iteration, the fused
+    seed/step-operator program, and the advance scan.
+    """
+    from ..ops.extprec import taylor_coeff_limbs
+    from .krylov import spectral_norm_estimate_dense
+
     times = np.asarray(times)
     T = len(times)
     if T > 1:
@@ -451,32 +498,35 @@ def expm_traces_assembled_ext(
     sea_mask = jnp.asarray(
         (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
     )
-    hdiag = jnp.asarray(H.diagonal_part())
-    p0c = Cplx(jnp.asarray(psi0.real), jnp.asarray(psi0.imag))
-    hp0 = H.apply(p0c, diag=hdiag)
-    e0 = jnp.sum(p0c.re * hp0.re + p0c.im * hp0.im)
-    e0.block_until_ready()
-    del hp0
 
-    U_re, U_im = _ext_expm(H, dt)
+    Hd = H.to_dense()
+    # <H> at t=0 (conserved) and the scaling decision, both from the dense
+    # matrix on host — the term-IR apply would cost a slow remote compile.
+    e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hd @ psi0))))
+    norm = min(spectral_norm_bound(H), spectral_norm_estimate_dense(Hd))
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
+    dt_s = dt / (2**n_sq)
 
-    # doubling pass: S holds the first `block` states, P -> U^block (ext)
-    from ..ops.extprec import ext_cmatmul_jit
-
-    S_re = jnp.asarray(psi0.real)[:, None]
-    S_im = jnp.asarray(psi0.imag)[:, None]
+    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
     nl = _EXT_ADV_LIMBS
-    for _ in range(int(np.log2(block))):
-        ns_re, ns_im = _ext_apply_blocks(U_re[:nl], U_im[:nl], S_re, S_im, nl)
-        jax.block_until_ready(ns_re)
-        S_re = jnp.concatenate([S_re, ns_re], axis=1)
-        S_im = jnp.concatenate([S_im, ns_im], axis=1)
-        P_re, P_im = ext_cmatmul_jit(U_re, U_im, U_re, U_im)
-        jax.block_until_ready(P_re)
-        U_re, U_im = P_re, P_im
+    S_re, S_im, B_re, B_im = _ext_expm_program(
+        jnp.asarray(Hd.imag * dt_s),
+        jnp.asarray(-Hd.real * dt_s),
+        jnp.asarray(psi0.real),
+        jnp.asarray(psi0.imag),
+        coeffs,
+        n_sq=n_sq,
+        degree=_EXT_DEGREE,
+        log2_block=int(np.log2(block)),
+        nl=nl,
+        panel=min(panel, dim),
+    )
+    del Hd
+    jax.block_until_ready(S_re)
 
     flat = _ext_advance_scan(
-        U_re[:nl], U_im[:nl], S_re, S_im, sea_mask, e0,
+        B_re, B_im, S_re, S_im, sea_mask, e0,
         n_blocks, dims, idx_rare, nl,
     )
     arr = np.asarray(flat).reshape(n_blocks, 8, block)

@@ -65,18 +65,56 @@ def spectral_norm_estimate(H: OperatorSum, iters: int = 40, seed: int = 0) -> fl
     v /= np.linalg.norm(v)
     diag = jnp.asarray(H.diagonal_part())
 
-    @jax.jit
-    def step(re, im):
-        out = H.apply(Cplx(re, im), diag=diag)
-        nrm = jnp.sqrt(jnp.sum(out.abs2()))
-        return out.re / nrm, out.im / nrm, nrm
+    # ONE device program: a per-iteration dispatch loop costs seconds of
+    # relay round-trip latency per step through the TPU tunnel.
+    @partial(jax.jit, static_argnames=("n",))
+    def power(re, im, n: int):
+        def body(_, carry):
+            re, im, _ = carry
+            out = H.apply(Cplx(re, im), diag=diag)
+            nrm = jnp.sqrt(jnp.sum(out.abs2()))
+            return out.re / nrm, out.im / nrm, nrm
 
-    re = jnp.asarray(v.real)
-    im = jnp.asarray(v.imag)
-    nrm = 0.0
-    for _ in range(iters):
-        re, im, nrm = step(re, im)
+        return jax.lax.fori_loop(0, n, body, (re, im, jnp.asarray(0.0)))
+
+    _, _, nrm = power(jnp.asarray(v.real), jnp.asarray(v.imag), iters)
     # power iteration converges from below for the dominant |eigenvalue|
+    return float(nrm) * 1.05
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _dense_power(h_re, h_im, v_re, v_im, iters: int):
+    def body(_, carry):
+        re, im, _ = carry
+        ore = h_re @ re - h_im @ im
+        oim = h_re @ im + h_im @ re
+        nrm = jnp.sqrt(jnp.sum(ore * ore + oim * oim))
+        return ore / nrm, oim / nrm, nrm
+
+    return jax.lax.fori_loop(0, iters, body, (v_re, v_im, jnp.asarray(0.0, v_re.dtype)))
+
+
+def spectral_norm_estimate_dense(
+    Hd: np.ndarray, iters: int = 40, seed: int = 0
+) -> float:
+    """||H||_2 estimate by f32 power iteration on the dense matrix.
+
+    For paths that densify H anyway (eig/expm), this replaces the term-IR
+    power iteration: the compiled program is a single complex matvec in a
+    fori_loop — negligible compile time, one dispatch, and f32 is plenty for
+    a scaling decision (inflated 5% like the matrix-free estimate).
+    """
+    rng = np.random.default_rng(seed)
+    dim = Hd.shape[0]
+    v = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
+    v /= np.linalg.norm(v)
+    _, _, nrm = _dense_power(
+        jnp.asarray(Hd.real, jnp.float32),
+        jnp.asarray(Hd.imag, jnp.float32),
+        jnp.asarray(v.real, jnp.float32),
+        jnp.asarray(v.imag, jnp.float32),
+        iters,
+    )
     return float(nrm) * 1.05
 
 

@@ -1,0 +1,308 @@
+"""Row-sharded dense step-operator propagation: N=13-16 beyond one chip's HBM.
+
+The single-chip dense-expm path (dynamics/expm_propagator.py) is the only
+scheme whose total work is sublinear in ||H||*t (squaring reaches
+exp(-iH dt) in log2 steps; every output point then costs one dense matvec).
+Its ceiling is HBM: at dim 16384 the limb stacks of one step operator exceed
+a v5e's 16 GB.  This module removes that ceiling by sharding every dense
+operator BY ROWS over a mesh axis and feeding the limb-product panels with
+`all_gather` collectives over ICI:
+
+  * U is carried as row-sharded (rows/P, dim) f64 planes; each product
+    re-splits its operands into Ozaki limbs with a `pmax`-negotiated GLOBAL
+    scale (per-device scales would put the gathered panels on different
+    grids and break the error-free product).
+  * C = A @ B_global: a lax.scan over column panels; each panel gathers
+    (L, dim, panel) of B's limbs from all devices (one tiled all_gather per
+    panel) and accumulates the significance diagonals smallest-first in f64
+    — identical error profile to the single-chip limb matmul (~5e-16/matmul).
+  * States stay REPLICATED (dim x block is tiny); applying the row-sharded
+    step operator yields each device's rows, re-replicated with one
+    all_gather per block advance.
+
+Per-device memory at dim D over P devices: ~2*(2*L*D^2/P) bytes of bf16
+limbs + (L, D, panel) gathered panel + f64 planes — dim 16384 fits 4x v5e,
+dim 32768 fits a v5p-8 slice.
+
+Replaces: the reference's single-process `qt.sesolve` call
+(dipolar_ensemble_with_rare.py:653) for bath sizes no single host can hold.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.embed import OperatorSum
+from ..ops.extprec import _accumulate_products
+from ..dynamics.observables import site_xyz_expectations, state_norms
+
+_TAYLOR_DEGREE = 16
+_TAYLOR_THETA = 1.0
+
+
+def auto_limb_cfg(dim: int) -> tuple[int, int]:
+    """(n_limbs, limb_bits) so the f32 accumulator never rounds.
+
+    Constraint: dim * 2^(2*limb_bits) < 2^24; keep >= 55 bits of significand.
+    """
+    for bits in (5, 4, 3):
+        if dim * (2 ** (2 * bits)) < 2**24:
+            return (int(np.ceil(55 / bits)), bits)
+    raise ValueError(f"dim {dim} too large for exact f32 limb accumulation")
+
+
+def _split_with_scale(x, inv_scale, n_limbs: int, limb_bits: int):
+    """Grid-aligned limb split with an externally negotiated scale."""
+    limbs = []
+    r = x * inv_scale
+    for _ in range(n_limbs):
+        l = jnp.rint(r)
+        limbs.append(l.astype(jnp.bfloat16))
+        r = (r - l) * (2.0**limb_bits)
+    return jnp.stack(limbs)
+
+
+def _global_split(x_local, axis: str, n_limbs: int, limb_bits: int):
+    """(limbs, scale) with the scale negotiated across the mesh axis."""
+    maxabs = jax.lax.pmax(jnp.max(jnp.abs(x_local)), axis)
+    safe = jnp.where(maxabs > 0, maxabs, 1.0)
+    e = jnp.floor(jnp.log2(safe)) + 1.0 - limb_bits
+    return _split_with_scale(x_local, jnp.exp2(-e), n_limbs, limb_bits), jnp.exp2(e)
+
+
+def _sharded_cmatmul_prelimbed(
+    Ar, sar, Ai, sai, Br, sbr, Bi, sbi,
+    axis: str, panel: int, n_limbs: int, limb_bits: int, dim: int,
+):
+    """Row-sharded complex product C = A @ B_global from pre-split limbs.
+
+    A*, B*: (L, rows_local, dim) bf16 limbs (row-sharded).  Returns
+    (C_re, C_im) row-sharded f64.  One tiled all_gather of B's panel limbs
+    per column panel; diagonals accumulate smallest-first in f64 (exact bf16
+    MXU products, same bound as ops/extprec.matmul_f64).
+    """
+    rows_local = Ar.shape[1]
+    n_panels = dim // panel
+
+    def body(carry, p):
+        c_re, c_im = carry
+        br_p = jax.lax.dynamic_slice_in_dim(Br, p * panel, panel, axis=2)
+        bi_p = jax.lax.dynamic_slice_in_dim(Bi, p * panel, panel, axis=2)
+        # (L, rows_local, panel) -> (L, dim, panel): one collective per panel
+        br_g = jax.lax.all_gather(br_p, axis, axis=1, tiled=True)
+        bi_g = jax.lax.all_gather(bi_p, axis, axis=1, tiled=True)
+        out_shape = (rows_local, panel)
+        rr = _accumulate_products(Ar, sar, br_g, sbr, out_shape, n_limbs, limb_bits)
+        ii = _accumulate_products(Ai, sai, bi_g, sbi, out_shape, n_limbs, limb_bits)
+        ri = _accumulate_products(Ar, sar, bi_g, sbi, out_shape, n_limbs, limb_bits)
+        ir = _accumulate_products(Ai, sai, br_g, sbr, out_shape, n_limbs, limb_bits)
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, rr - ii, p * panel, axis=1)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, ri + ir, p * panel, axis=1)
+        return (c_re, c_im), None
+
+    # mark the carry as device-varying over the mesh axis (each device's row
+    # block differs) so the scan carry type matches the body output
+    init = (
+        jax.lax.pcast(jnp.zeros((rows_local, dim), jnp.float64), (axis,), to='varying'),
+        jax.lax.pcast(jnp.zeros((rows_local, dim), jnp.float64), (axis,), to='varying'),
+    )
+    (c_re, c_im), _ = jax.lax.scan(body, init, jnp.arange(n_panels))
+    return c_re, c_im
+
+
+def _sharded_csquare(u_re, u_im, axis, panel, n_limbs, limb_bits, dim):
+    Ar, sar = _global_split(u_re, axis, n_limbs, limb_bits)
+    Ai, sai = _global_split(u_im, axis, n_limbs, limb_bits)
+    return _sharded_cmatmul_prelimbed(
+        Ar, sar, Ai, sai, Ar, sar, Ai, sai, axis, panel, n_limbs, limb_bits, dim
+    )
+
+
+def _apply_replicated(Ar, sar, Ai, sai, s_re, s_im, axis, n_limbs, limb_bits):
+    """Row-sharded (pre-limbed) U applied to a REPLICATED (dim, B) state block.
+
+    Returns the re-replicated (dim, B) product via one tiled all_gather.
+    """
+    # replicated operand: every device computes the same limb split, so the
+    # local max IS the global max — no pmax needed.
+    maxabs = jnp.max(jnp.concatenate([jnp.abs(s_re), jnp.abs(s_im)]))
+    safe = jnp.where(maxabs > 0, maxabs, 1.0)
+    e = jnp.floor(jnp.log2(safe)) + 1.0 - limb_bits
+    inv = jnp.exp2(-e)
+    sb = jnp.exp2(e)
+    Br = _split_with_scale(s_re, inv, n_limbs, limb_bits)
+    Bi = _split_with_scale(s_im, inv, n_limbs, limb_bits)
+    out_shape = (Ar.shape[1], s_re.shape[1])
+    rr = _accumulate_products(Ar, sar, Br, sb, out_shape, n_limbs, limb_bits)
+    ii = _accumulate_products(Ai, sai, Bi, sb, out_shape, n_limbs, limb_bits)
+    ri = _accumulate_products(Ar, sar, Bi, sb, out_shape, n_limbs, limb_bits)
+    ir = _accumulate_products(Ai, sai, Br, sb, out_shape, n_limbs, limb_bits)
+    n_re = jax.lax.all_gather(rr - ii, axis, axis=0, tiled=True)
+    n_im = jax.lax.all_gather(ri + ir, axis, axis=0, tiled=True)
+    return n_re, n_im
+
+
+def expm_traces_sharded(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    block: int = 128,
+    panel: int = 512,
+) -> np.ndarray:
+    """Assembled observable rows (8, T) via a row-sharded dense step operator.
+
+    The whole pipeline — Taylor-Horner core, scaling squarings, doubling-pass
+    seeds, and the block-advance trace loop with on-device observables — runs
+    as ONE shard_map program over the mesh axis.
+    """
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("expm stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+    dim = int(np.prod(dims))
+    n_dev = mesh.shape[axis]
+    if dim % n_dev:
+        raise ValueError(f"dim {dim} not divisible by {n_dev} devices")
+    block = min(block, T)
+    block = 1 << (block.bit_length() - 1)
+    log2_block = int(np.log2(block))
+    n_blocks = int(np.ceil(T / block))
+    n_limbs, limb_bits = auto_limb_cfg(dim)
+    panel = min(panel, dim)
+
+    from ..dynamics.krylov import spectral_norm_bound
+
+    norm = spectral_norm_bound(H)
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _TAYLOR_THETA))))
+    dt_s = dt / (2**n_sq)
+
+    Hd = H.to_dense()
+    e0 = float(np.real(np.vdot(psi0, Hd @ psi0)))
+    # A = -i H dt_s, row-sharded over the mesh axis
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    A_re = jax.device_put(jnp.asarray(Hd.imag * dt_s), row_sharding)
+    A_im = jax.device_put(jnp.asarray(-Hd.real * dt_s), row_sharding)
+    del Hd
+    p_re = jax.device_put(jnp.asarray(psi0.real), NamedSharding(mesh, P()))
+    p_im = jax.device_put(jnp.asarray(psi0.imag), NamedSharding(mesh, P()))
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=P(),
+    )
+    def run(a_re, a_im, p0_re, p0_im):
+        # limbs of A once; Horner D <- A + (A @ D)/k, k = degree..2
+        Ar, sar = _global_split(a_re, axis, n_limbs, limb_bits)
+        Ai, sai = _global_split(a_im, axis, n_limbs, limb_bits)
+
+        def horner(k, D):
+            d_re, d_im = D
+            Br, sbr = _global_split(d_re, axis, n_limbs, limb_bits)
+            Bi, sbi = _global_split(d_im, axis, n_limbs, limb_bits)
+            t_re, t_im = _sharded_cmatmul_prelimbed(
+                Ar, sar, Ai, sai, Br, sbr, Bi, sbi,
+                axis, panel, n_limbs, limb_bits, dim,
+            )
+            invk = 1.0 / (_TAYLOR_DEGREE - k)
+            return a_re + t_re * invk, a_im + t_im * invk
+
+        # k counts down degree..2 == _TAYLOR_DEGREE - i for i = 0..degree-2
+        u_re, u_im = jax.lax.fori_loop(0, _TAYLOR_DEGREE - 1, horner, (a_re, a_im))
+        # U = I + D on this device's row block
+        my = jax.lax.axis_index(axis)
+        rows_local = u_re.shape[0]
+        row_ids = my * rows_local + jnp.arange(rows_local)
+        eye_local = (row_ids[:, None] == jnp.arange(dim)[None, :]).astype(jnp.float64)
+        u_re = u_re + eye_local
+
+        def sq(_, UU):
+            return _sharded_csquare(UU[0], UU[1], axis, panel, n_limbs, limb_bits, dim)
+
+        if n_sq > 0:
+            u_re, u_im = jax.lax.fori_loop(0, n_sq, sq, (u_re, u_im))
+
+        # doubling pass: replicated padded seed buffer + U -> U^block.
+        # (pcast-to-varying: the buffer mixes with gathered apply results)
+        S_re = jax.lax.pcast(
+            jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p0_re),
+            (axis,), to="varying",
+        )
+        S_im = jax.lax.pcast(
+            jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p0_im),
+            (axis,), to="varying",
+        )
+
+        def dbl(k, carry):
+            S_re, S_im, u_re, u_im = carry
+            Cr, scr = _global_split(u_re, axis, n_limbs, limb_bits)
+            Ci, sci = _global_split(u_im, axis, n_limbs, limb_bits)
+            n_re, n_im = _apply_replicated(
+                Cr, scr, Ci, sci, S_re, S_im, axis, n_limbs, limb_bits
+            )
+            w = 1 << k
+            mask = (jnp.arange(block) >= w) & (jnp.arange(block) < 2 * w)
+            S_re = jnp.where(mask[None, :], jnp.roll(n_re, w, axis=1), S_re)
+            S_im = jnp.where(mask[None, :], jnp.roll(n_im, w, axis=1), S_im)
+            u_re, u_im = _sharded_cmatmul_prelimbed(
+                Cr, scr, Ci, sci, Cr, scr, Ci, sci,
+                axis, panel, n_limbs, limb_bits, dim,
+            )
+            return S_re, S_im, u_re, u_im
+
+        if log2_block > 0:
+            S_re, S_im, u_re, u_im = jax.lax.fori_loop(
+                0, log2_block, dbl, (S_re, S_im, u_re, u_im)
+            )
+
+        # advance: U^block applied to whole blocks; observables on the
+        # replicated block (redundant across devices, trivially cheap)
+        Br, sbr = _global_split(u_re, axis, n_limbs, limb_bits)
+        Bi, sbi = _global_split(u_im, axis, n_limbs, limb_bits)
+
+        def adv(S, _):
+            S_re, S_im = S
+            from ..ops.cplx import Cplx
+
+            states = Cplx(S_re, S_im)
+            xyz = site_xyz_expectations(states, dims)
+            norms = state_norms(states)
+            sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+            rare = xyz[idx_rare]
+            rows = jnp.stack(
+                [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
+                 jnp.full(norms.shape, e0)]
+            )
+            n_re, n_im = _apply_replicated(
+                Br, sbr, Bi, sbi, S_re, S_im, axis, n_limbs, limb_bits
+            )
+            return (n_re, n_im), rows
+
+        _, rows = jax.lax.scan(adv, (S_re, S_im), None, length=n_blocks)
+        # every device computed identical rows from the re-replicated states;
+        # pmax re-types them as axis-invariant without changing any bit
+        return jax.lax.pmax(rows, axis)  # (n_blocks, 8, block)
+
+    out = jax.jit(run)(A_re, A_im, p_re, p_im)
+    arr = np.asarray(out)
+    return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]

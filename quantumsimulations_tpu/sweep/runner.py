@@ -70,6 +70,15 @@ def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
         from ..dynamics.expm_propagator import expm_propagate_traces
 
         out = expm_propagate_traces(model.hamiltonian, model.psi0, times, model.dims)
+    elif method == "ext":
+        from ..dynamics.eig_propagator import traces_dict
+        from ..dynamics.expm_propagator import expm_traces_assembled_ext
+
+        rows = expm_traces_assembled_ext(
+            model.hamiltonian, model.psi0, times, model.dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        return traces_dict(rows)
     elif method == "krylov":
         from ..dynamics.eig_propagator import traces_dict
         from ..dynamics.krylov import krylov_traces_assembled
@@ -104,7 +113,7 @@ def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> l
         traces_dict,
     )
 
-    if solver_method in ("expm", "krylov", "dopri"):
+    if solver_method in ("expm", "ext", "krylov", "dopri"):
         # stepping backends: solve per simulation (no batched-eigh structure)
         return [_solve_one_stepping(m, times, solver_method) for m in models]
 
