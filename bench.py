@@ -206,6 +206,11 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: the big fused limb programs cost minutes
+    # of (remote) XLA compile; cached executables make round-over-round bench
+    # runs measure compute, not the compiler
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
     if args.quick:

@@ -414,6 +414,110 @@ def _ext_expm_program(
     return S_re, S_im, B_re, B_im
 
 
+# --- chunked-dispatch variants of the fused program -----------------------
+#
+# One fused dispatch is ideal below ~dim 4096, but at dim 8192 the full chain
+# is ~30 heavy ext matmuls (~35 s each on a v5e chip): a single >10 min
+# device program gets killed by the TPU tunnel (reproducible UNAVAILABLE
+# device fault; isolated sub-programs up to ~4 min all pass).  The chain
+# below is the SAME math in the SAME order, split into dispatches of at most
+# a few heavy matmuls each, with a host sync between dispatches (the sync
+# also keeps queued transients from OOMing, see the round-1 note above).
+# Results are bit-identical to the fused program.
+
+_EXT_CHUNK_DIM = 4096  # use chunked dispatches at/above this dim
+_EXT_HORNER_CHUNK = 3  # Horner iterations per dispatch
+_EXT_SQ_CHUNK = 3  # squarings per dispatch
+_EXT_DBL_CHUNK = 3  # doubling passes per dispatch
+_EXT_ADV_CHUNK = 32  # advance blocks per dispatch (cheap; bounded anyway)
+
+
+@jax.jit
+def _ext_split2(a, b):
+    from ..ops.extprec import ext_split
+
+    return ext_split(a), ext_split(b)
+
+
+@partial(jax.jit, static_argnames=("n_it", "panel"), donate_argnums=(2, 3))
+def _ext_horner_chunk(are, aim, d_re, d_im, coeffs, k0, n_it: int, panel: int):
+    """`n_it` Horner iterations D <- A + (A @ D)/k, k = k0, k0-1, ...
+
+    Column panels of D are independent through the whole recursion
+    ((A @ D)[:, :, p] reads only D[:, :, p]), so each panel runs its n_it
+    iterations in place inside a panel scan: peak memory is A + D + one
+    panel workspace, same as the fused program.
+    """
+    from ..ops.extprec import (
+        _ext_cpanel_product,
+        _ext_scalar_mul_traced,
+        ext_add,
+    )
+
+    L, M, N = are.shape
+    panel = min(panel, N)
+    n_panels = N // panel
+
+    def panel_body(carry, p):
+        c_re, c_im = carry
+        dp_re = jax.lax.dynamic_slice_in_dim(c_re, p * panel, panel, axis=2)
+        dp_im = jax.lax.dynamic_slice_in_dim(c_im, p * panel, panel, axis=2)
+        ap_re = jax.lax.dynamic_slice_in_dim(are, p * panel, panel, axis=2)
+        ap_im = jax.lax.dynamic_slice_in_dim(aim, p * panel, panel, axis=2)
+
+        def body(i, dd):
+            dr, di = dd
+            pr, pi = _ext_cpanel_product(are, aim, dr, di, L)
+            cl = coeffs[k0 - i]
+            pr = _ext_scalar_mul_traced(pr, cl)
+            pi = _ext_scalar_mul_traced(pi, cl)
+            return ext_add(ap_re, pr), ext_add(ap_im, pi)
+
+        dp_re, dp_im = jax.lax.fori_loop(0, n_it, body, (dp_re, dp_im))
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, dp_re, p * panel, axis=2)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, dp_im, p * panel, axis=2)
+        return (c_re, c_im), None
+
+    (d_re, d_im), _ = jax.lax.scan(panel_body, (d_re, d_im), jnp.arange(n_panels))
+    return d_re, d_im
+
+
+@partial(jax.jit, static_argnames=("n", "panel"), donate_argnums=(0, 1))
+def _ext_square_chunk(U_re, U_im, n: int, panel: int):
+    from ..ops.extprec import ext_cmatmul
+
+    def body(_, UU):
+        ur, ui = UU
+        return ext_cmatmul(ur, ui, ur, ui, panel=panel)
+
+    return jax.lax.fori_loop(0, n, body, (U_re, U_im))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "nl", "panel"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0, n: int, nl: int, panel: int):
+    """Doubling passes k = k0 .. k0+n-1 of the seed/step-power chain."""
+    from ..ops.extprec import ext_cmatmul
+
+    block = S_re.shape[1]
+    idx = jnp.arange(block)
+
+    def body(i, carry):
+        S_re, S_im, B_re, B_im = carry
+        n_re, n_im = _ext_apply_blocks(B_re, B_im, S_re, S_im, nl)
+        w = jnp.left_shift(1, k0 + i)
+        mask = (idx >= w) & (idx < 2 * w)
+        S_re = jnp.where(mask[None, :], jnp.roll(n_re, w, axis=1), S_re)
+        S_im = jnp.where(mask[None, :], jnp.roll(n_im, w, axis=1), S_im)
+        B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
+        return S_re, S_im, B_re, B_im
+
+    return jax.lax.fori_loop(0, n, body, (S_re, S_im, B_re, B_im))
+
+
 @partial(jax.jit, static_argnames=("n_limbs",))
 def _ext_apply_blocks(Lr, Li, S_re, S_im, n_limbs: int):
     """(ext U limbs, scale 1) @ f64 state block, complex."""
@@ -459,8 +563,8 @@ def _ext_advance_scan(
         ir = matmul_f64_prelimbed(Li, one, S_re, n_limbs=n_limbs)
         return (rr - ii, ri + ir), rows
 
-    _, rows = jax.lax.scan(body, (S_re, S_im), None, length=n_blocks)
-    return rows.reshape(-1)  # flat for the tunnel
+    (S_re, S_im), rows = jax.lax.scan(body, (S_re, S_im), None, length=n_blocks)
+    return rows.reshape(-1), S_re, S_im  # rows flat for the tunnel
 
 
 def expm_traces_assembled_ext(
@@ -510,26 +614,84 @@ def expm_traces_assembled_ext(
 
     coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
     nl = _EXT_ADV_LIMBS
-    S_re, S_im, B_re, B_im = _ext_expm_program(
-        jnp.asarray(Hd.imag * dt_s),
-        jnp.asarray(-Hd.real * dt_s),
-        jnp.asarray(psi0.real),
-        jnp.asarray(psi0.imag),
-        coeffs,
-        n_sq=n_sq,
-        degree=_EXT_DEGREE,
-        log2_block=int(np.log2(block)),
-        nl=nl,
-        panel=min(panel, dim),
-    )
-    del Hd
-    jax.block_until_ready(S_re)
+    log2_block = int(np.log2(block))
+    pan = min(panel, dim)
 
-    flat = _ext_advance_scan(
-        B_re, B_im, S_re, S_im, sea_mask, e0,
-        n_blocks, dims, idx_rare, nl,
-    )
-    arr = np.asarray(flat).reshape(n_blocks, 8, block)
+    if dim < _EXT_CHUNK_DIM:
+        S_re, S_im, B_re, B_im = _ext_expm_program(
+            jnp.asarray(Hd.imag * dt_s),
+            jnp.asarray(-Hd.real * dt_s),
+            jnp.asarray(psi0.real),
+            jnp.asarray(psi0.imag),
+            coeffs,
+            n_sq=n_sq,
+            degree=_EXT_DEGREE,
+            log2_block=log2_block,
+            nl=nl,
+            panel=pan,
+        )
+        del Hd
+        jax.block_until_ready(S_re)
+    else:
+        # chunked dispatches: same math/order as the fused program, split
+        # into bounded-duration device programs (see the note above the
+        # chunk constants).  Sync after every dispatch.
+        Are, Aim = _ext_split2(
+            jnp.asarray(Hd.imag * dt_s), jnp.asarray(-Hd.real * dt_s)
+        )
+        del Hd
+        jax.block_until_ready(Are)
+        from ..ops.extprec import ext_add_identity
+
+        # Horner init: D = A.  Fresh copies — the D buffers are donated
+        # through the chunk calls while the A stacks stay live.
+        D_re, D_im = jnp.copy(Are), jnp.copy(Aim)
+        k = _EXT_DEGREE
+        while k > 1:
+            n_it = min(_EXT_HORNER_CHUNK, k - 1)
+            # donated d buffers; A stacks passed fresh each call
+            D_re, D_im = _ext_horner_chunk(
+                Are, Aim, D_re, D_im, coeffs, jnp.asarray(k), n_it, pan
+            )
+            jax.block_until_ready(D_re)
+            k -= n_it
+        U_re = ext_add_identity(D_re)
+        U_im = D_im
+        remaining = n_sq
+        while remaining > 0:
+            n = min(_EXT_SQ_CHUNK, remaining)
+            U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
+            jax.block_until_ready(U_re)
+            remaining -= n
+        B_re, B_im = U_re[:nl], U_im[:nl]
+        S_re = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(
+            jnp.asarray(psi0.real)
+        )
+        S_im = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(
+            jnp.asarray(psi0.imag)
+        )
+        k0 = 0
+        while k0 < log2_block:
+            n = min(_EXT_DBL_CHUNK, log2_block - k0)
+            S_re, S_im, B_re, B_im = _ext_dbl_chunk(
+                S_re, S_im, B_re, B_im, jnp.asarray(k0), n, nl, pan
+            )
+            jax.block_until_ready(S_re)
+            k0 += n
+
+    # advance in bounded chunks of blocks; the padded tail blocks (if any)
+    # are computed and dropped — one compiled shape, negligible extra work
+    adv_chunk = min(_EXT_ADV_CHUNK, n_blocks)
+    flats = []
+    done = 0
+    while done < n_blocks:
+        flat, S_re, S_im = _ext_advance_scan(
+            B_re, B_im, S_re, S_im, sea_mask, e0,
+            adv_chunk, dims, idx_rare, nl,
+        )
+        flats.append(np.asarray(flat))
+        done += adv_chunk
+    arr = np.concatenate(flats).reshape(done, 8, block)[:n_blocks]
     return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]
 
 

@@ -230,3 +230,32 @@ def test_ext_expm_traces_parity():
     assert rows.shape == exact.shape
     assert np.abs(rows[:6] - exact[:6]).max() < 5e-9
     assert np.abs(rows[6] - 1.0).max() < 1e-12  # norm conservation
+
+
+def test_ext_chunked_matches_fused(monkeypatch):
+    """The chunked-dispatch ext chain (used at dim >= _EXT_CHUNK_DIM, where a
+    single fused device program outlives the TPU tunnel's tolerance) is the
+    same math in the same order as the fused program — results must match
+    bit-for-bit."""
+    from quantumsimulations_tpu.dynamics import expm_propagator as ep
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    p = DipolarRareParams(
+        n_sea=4, gamma_sea=gamma, gamma_rare=6.976e7, B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma, B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=0.2, steps=100, drive_sea=True, drive_rare=True,
+        is_spin_three_half=False, is_center_rare=True,
+    )
+    m = build_model(p)
+    t = np.linspace(0, p.t_final, p.steps)
+    args = (m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
+    fused = ep.expm_traces_assembled_ext(*args, block=16)
+    monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 1)  # force the chunked path
+    monkeypatch.setattr(ep, "_EXT_ADV_CHUNK", 3)  # exercise padded tail too
+    chunked = ep.expm_traces_assembled_ext(*args, block=16)
+    np.testing.assert_array_equal(chunked, fused)
