@@ -655,15 +655,23 @@ def expm_traces_assembled_ext(
             )
             jax.block_until_ready(D_re)
             k -= n_it
+        # the fused program's XLA liveness frees each stack when its phase
+        # ends; here the Python references would keep them alive (each full
+        # ext stack pair is ~L*dim^2*2*2 bytes — 4 GB at dim 8192), so drop
+        # them explicitly before the next phase allocates its buffers
+        del Are, Aim
         U_re = ext_add_identity(D_re)
         U_im = D_im
+        del D_re, D_im
         remaining = n_sq
         while remaining > 0:
             n = min(_EXT_SQ_CHUNK, remaining)
             U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
             jax.block_until_ready(U_re)
             remaining -= n
-        B_re, B_im = U_re[:nl], U_im[:nl]
+        B_re, B_im = jnp.copy(U_re[:nl]), jnp.copy(U_im[:nl])
+        del U_re, U_im
+        jax.block_until_ready(B_re)
         S_re = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(
             jnp.asarray(psi0.real)
         )
