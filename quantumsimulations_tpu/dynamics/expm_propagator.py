@@ -617,6 +617,19 @@ def expm_traces_assembled_ext(
     log2_block = int(np.log2(block))
     pan = min(panel, dim)
 
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("QST_EXT_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     if dim < _EXT_CHUNK_DIM:
         S_re, S_im, B_re, B_im = _ext_expm_program(
             jnp.asarray(Hd.imag * dt_s),
@@ -632,6 +645,7 @@ def expm_traces_assembled_ext(
         )
         del Hd
         jax.block_until_ready(S_re)
+        _mark("fused program")
     else:
         # chunked dispatches: same math/order as the fused program, split
         # into bounded-duration device programs (see the note above the
@@ -641,6 +655,7 @@ def expm_traces_assembled_ext(
         )
         del Hd
         jax.block_until_ready(Are)
+        _mark("split")
         from ..ops.extprec import ext_add_identity
 
         # Horner init: D = A.  Fresh copies — the D buffers are donated
@@ -655,6 +670,7 @@ def expm_traces_assembled_ext(
             )
             jax.block_until_ready(D_re)
             k -= n_it
+        _mark(f"horner({_EXT_DEGREE - 1} matmuls)")
         # the fused program's XLA liveness frees each stack when its phase
         # ends; here the Python references would keep them alive (each full
         # ext stack pair is ~L*dim^2*2*2 bytes — 4 GB at dim 8192), so drop
@@ -669,6 +685,7 @@ def expm_traces_assembled_ext(
             U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
             jax.block_until_ready(U_re)
             remaining -= n
+        _mark(f"squarings({n_sq} matmuls)")
         B_re, B_im = jnp.copy(U_re[:nl]), jnp.copy(U_im[:nl])
         del U_re, U_im
         jax.block_until_ready(B_re)
@@ -686,6 +703,7 @@ def expm_traces_assembled_ext(
             )
             jax.block_until_ready(S_re)
             k0 += n
+        _mark(f"doubling({log2_block} passes)")
 
     # advance in bounded chunks of blocks; the padded tail blocks (if any)
     # are computed and dropped — one compiled shape, negligible extra work
@@ -699,6 +717,7 @@ def expm_traces_assembled_ext(
         )
         flats.append(np.asarray(flat))
         done += adv_chunk
+    _mark(f"advance({n_blocks} blocks)")
     arr = np.concatenate(flats).reshape(done, 8, block)[:n_blocks]
     return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]
 

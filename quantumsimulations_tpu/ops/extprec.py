@@ -243,9 +243,31 @@ def _ext_carry(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(limbs)
 
 
+def _ext_carry_i32(d: jnp.ndarray) -> jnp.ndarray:
+    """Exact carry cascade on int32 digits -> canonical bf16 limbs.
+
+    Same contract as `_ext_carry` but in native integer arithmetic: on TPU
+    f64 is software-emulated on the VPU while i32 add/shift are native, so
+    the hot matmul/Horner paths run their (exact-integer) digit arithmetic
+    here.  Rounding of the carry is nearest-half-up via an arithmetic shift
+    (`_ext_carry` uses rint's half-even) — the canonical residuals differ on
+    exact ties only and both are exact representations of the same value,
+    so all downstream values are identical.
+    """
+    L = d.shape[0]
+    limbs = [None] * L
+    carry = jnp.zeros_like(d[0])
+    for j in range(L - 1, 0, -1):
+        t = d[j] + carry
+        carry = (t + 16) >> 5  # floor((t+16)/32): nearest, ties toward +inf
+        limbs[j] = (t - (carry << 5)).astype(jnp.bfloat16)
+    limbs[0] = (d[0] + carry).astype(jnp.bfloat16)
+    return jnp.stack(limbs)
+
+
 def ext_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact sum of two canonical ext stacks (same fixed grid)."""
-    return _ext_carry(a.astype(jnp.float64) + b.astype(jnp.float64))
+    return _ext_carry_i32(a.astype(jnp.int32) + b.astype(jnp.int32))
 
 
 def ext_neg(a: jnp.ndarray) -> jnp.ndarray:
@@ -331,22 +353,25 @@ def ext_cmatmul(
         for s in range(L + EXT_GUARD):
             acc_re = None
             acc_im = None
-            # product of limbs (j, i) with j + i == s, both < L
+            # product of limbs (j, i) with j + i == s, both < L.  Each MXU
+            # dot is exact in its f32 accumulator (|.| <= K*2^10 < 2^24);
+            # the f32->i32 convert is exact (integer values), and diagonal
+            # sums (<= 2^27) stay exact in native i32 — no emulated f64.
             for j in range(max(0, s - L + 1), min(s + 1, L)):
                 i = s - j
                 rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.float32)
                 ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
                 ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
                 ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
-                re_c = rr.astype(jnp.float64) - ii.astype(jnp.float64)
-                im_c = ri.astype(jnp.float64) + ir.astype(jnp.float64)
+                re_c = rr.astype(jnp.int32) - ii.astype(jnp.int32)
+                im_c = ri.astype(jnp.int32) + ir.astype(jnp.int32)
                 acc_re = re_c if acc_re is None else acc_re + re_c
                 acc_im = im_c if acc_im is None else acc_im + im_c
             d_re.append(acc_re)
             d_im.append(acc_im)
         return (
-            _ext_carry(jnp.stack(d_re))[:L],
-            _ext_carry(jnp.stack(d_im))[:L],
+            _ext_carry_i32(jnp.stack(d_re))[:L],
+            _ext_carry_i32(jnp.stack(d_im))[:L],
         )
 
     if n_panels <= 1:
@@ -380,16 +405,17 @@ def _ext_scalar_mul_traced(a: jnp.ndarray, cl: jnp.ndarray) -> jnp.ndarray:
     coefficients (e.g. Taylor 1/k indexed by a fori counter)."""
     L = a.shape[0]
     Lc = cl.shape[0]
-    af = a.astype(jnp.float64)
+    ai = a.astype(jnp.int32)
+    ci = cl.astype(jnp.int32)
     d = []
     for m in range(L + EXT_GUARD):
-        acc = jnp.zeros_like(af[0])
+        acc = jnp.zeros_like(ai[0])
         for i in range(min(Lc, m)):
             j = m - 1 - i
             if 0 <= j < L:
-                acc = acc + af[j] * cl[i]
+                acc = acc + ai[j] * ci[i]
         d.append(acc)
-    return _ext_carry(jnp.stack(d))[:L]
+    return _ext_carry_i32(jnp.stack(d))[:L]
 
 
 def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L):
@@ -405,13 +431,13 @@ def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L):
             ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
             ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
             ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
-            re_c = rr.astype(jnp.float64) - ii.astype(jnp.float64)
-            im_c = ri.astype(jnp.float64) + ir.astype(jnp.float64)
+            re_c = rr.astype(jnp.int32) - ii.astype(jnp.int32)
+            im_c = ri.astype(jnp.int32) + ir.astype(jnp.int32)
             acc_re = re_c if acc_re is None else acc_re + re_c
             acc_im = im_c if acc_im is None else acc_im + im_c
         d_re.append(acc_re)
         d_im.append(acc_im)
-    return _ext_carry(jnp.stack(d_re))[:L], _ext_carry(jnp.stack(d_im))[:L]
+    return _ext_carry_i32(jnp.stack(d_re))[:L], _ext_carry_i32(jnp.stack(d_im))[:L]
 
 
 @partial(jax.jit, static_argnames=("degree", "panel"))
