@@ -162,9 +162,12 @@ def measure_oracle_per_sim(models, t_final: float, steps: int) -> float:
 
 
 def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
-    """One n_sea=12 (dim 8192) evolution via the limb-expm propagator."""
+    """One n_sea=12 (dim 8192) evolution via the exact-limb (parity-grade)
+    expm propagator — measured 677 s on one v5e chip (norm drift 8.7e-11,
+    energy exactly conserved), the same wall-clock as the earlier 5e-6-grade
+    ozaki path it replaces."""
     from quantumsimulations_tpu.dynamics.expm_propagator import (
-        expm_traces_assembled_ozaki,
+        expm_traces_assembled_ext,
     )
     from quantumsimulations_tpu.models.dipolar import build_model
 
@@ -174,14 +177,14 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
     dim = int(np.prod(model.dims))
     log(f"n12 workload: 1 evolution, dim {dim}, T={steps}, horizon {t_final}s")
     t0 = time.perf_counter()
-    rows = expm_traces_assembled_ozaki(
+    rows = expm_traces_assembled_ext(
         model.hamiltonian, model.psi0, t, model.dims,
         model.n_sea_effective, model.idx_rare,
     )
     wall = time.perf_counter() - t0
     norm_drift = float(np.abs(rows[6] - 1.0).max())
     log(f"n12: {wall:.1f}s/evolution, norm drift {norm_drift:.1e}")
-    assert norm_drift < 1e-5, f"norm drift {norm_drift}"
+    assert norm_drift < 1e-9, f"norm drift {norm_drift}"
     return {"wall": wall, "dim": dim}
 
 
