@@ -111,7 +111,7 @@ def _matrix_power(U: Cplx, p: int) -> Cplx:
 
 
 # ---------------------------------------------------------------------------
-# Limb-decomposed (Ozaki) path: f64-precision square matmuls from bf16 MXU
+# Limb-decomposed (Ozaki) path: f64-precision square matmuls from int8 MXU
 # passes — the ONLY way to build a dim-8192 step operator on this chip (XLA's
 # own f64 matmul emulation OOMs; a host eigh takes ~an hour on 1 core).
 # ---------------------------------------------------------------------------
@@ -214,7 +214,7 @@ def expm_traces_assembled_ozaki(
     """Assembled-observable rows (8, T) via the limb-matmul step operator.
 
     The step operator's limbs are precomputed ONCE; each block advance is 78
-    bf16 MXU matmuls of (2*dim x dim) @ (dim x 2*block).  Identical row
+    int8 MXU limb matmuls of (2*dim x dim) @ (dim x 2*block).  Identical row
     layout to eig_traces_assembled_batched (TRACE_ROWS).
     """
     import jax
@@ -426,10 +426,14 @@ def _ext_expm_program(
 # Results are bit-identical to the fused program.
 
 _EXT_CHUNK_DIM = 4096  # use chunked dispatches at/above this dim
-_EXT_HORNER_CHUNK = 3  # Horner iterations per dispatch
-_EXT_SQ_CHUNK = 3  # squarings per dispatch
-_EXT_DBL_CHUNK = 3  # doubling passes per dispatch
-_EXT_ADV_CHUNK = 32  # advance blocks per dispatch (cheap; bounded anyway)
+# Chunk sizes trade dispatch overhead (~5-7 s of relay round-trip + cache
+# lookup per dispatch on the tunnel) against the tunnel's kill threshold for
+# long device programs (several minutes).  int8 matmuls run ~2.6 s each at
+# dim 8192, so these sizes keep every dispatch well under a minute.
+_EXT_HORNER_CHUNK = 5  # Horner iterations per dispatch
+_EXT_SQ_CHUNK = 6  # squarings per dispatch
+_EXT_DBL_CHUNK = 7  # doubling passes per dispatch
+_EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
 
 
 @jax.jit
@@ -437,6 +441,25 @@ def _ext_split2(a, b):
     from ..ops.extprec import ext_split
 
     return ext_split(a), ext_split(b)
+
+
+def _spectral_norm_host(Hd: np.ndarray, iters: int = 40, seed: int = 0) -> float:
+    """||H||_2 estimate by power iteration in native host f64 (numpy).
+
+    For the large-dim ext path the dense matrix is already on the host; a few
+    dozen f64 matvecs here are cheaper than a device dispatch round-trip
+    through the tunnel.  Inflated 5% like the other estimates."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(Hd.shape[0]) + 1j * rng.standard_normal(Hd.shape[0])
+    v /= np.linalg.norm(v)
+    nrm = 0.0
+    for _ in range(iters):
+        w = Hd @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            return 0.0
+        v = w / nrm
+    return float(nrm) * 1.05
 
 
 @partial(jax.jit, static_argnames=("n_it", "panel"), donate_argnums=(2, 3))
@@ -520,7 +543,11 @@ def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0, n: int, nl: int, panel: int):
 
 @partial(jax.jit, static_argnames=("n_limbs",))
 def _ext_apply_blocks(Lr, Li, S_re, S_im, n_limbs: int):
-    """(ext U limbs, scale 1) @ f64 state block, complex."""
+    """(ext U limbs, scale 1) @ f64 state block, complex.
+
+    The ext limbs are int8 on the SAME 5-bit grid the N_LIMBS scheme uses
+    (weight 2^(-5k) with scale 1), so they pass straight through as
+    pre-split operands."""
     from ..ops.extprec import matmul_f64_prelimbed
 
     one = jnp.asarray(1.0, jnp.float64)
@@ -603,20 +630,6 @@ def expm_traces_assembled_ext(
         (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
     )
 
-    Hd = H.to_dense()
-    # <H> at t=0 (conserved) and the scaling decision, both from the dense
-    # matrix on host — the term-IR apply would cost a slow remote compile.
-    e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hd @ psi0))))
-    norm = min(spectral_norm_bound(H), spectral_norm_estimate_dense(Hd))
-    x = norm * abs(dt)
-    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
-    dt_s = dt / (2**n_sq)
-
-    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
-    nl = _EXT_ADV_LIMBS
-    log2_block = int(np.log2(block))
-    pan = min(panel, dim)
-
     import os as _os
     import time as _time
 
@@ -629,6 +642,29 @@ def expm_traces_assembled_ext(
             now = _time.perf_counter()
             print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
             _t0 = now
+
+    Hd = H.to_dense()
+    _mark("to_dense(host)")
+    # <H> at t=0 (conserved) and the scaling decision, both from the dense
+    # matrix on host — the term-IR apply would cost a slow remote compile.
+    e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hd @ psi0))))
+    _mark("e0(host)")
+    if dim >= _EXT_CHUNK_DIM:
+        # host power iteration: native f64 matvecs beat shipping the dense
+        # planes to the chip and paying a dispatch round-trip (~50 s observed
+        # for the device estimate at dim 8192 vs ~8 s here)
+        norm = min(spectral_norm_bound(H), _spectral_norm_host(Hd))
+    else:
+        norm = min(spectral_norm_bound(H), spectral_norm_estimate_dense(Hd))
+    _mark("spectral norm")
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
+    dt_s = dt / (2**n_sq)
+
+    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
+    nl = _EXT_ADV_LIMBS
+    log2_block = int(np.log2(block))
+    pan = min(panel, dim)
 
     if dim < _EXT_CHUNK_DIM:
         S_re, S_im, B_re, B_im = _ext_expm_program(
@@ -650,12 +686,23 @@ def expm_traces_assembled_ext(
         # chunked dispatches: same math/order as the fused program, split
         # into bounded-duration device programs (see the note above the
         # chunk constants).  Sync after every dispatch.
-        Are, Aim = _ext_split2(
-            jnp.asarray(Hd.imag * dt_s), jnp.asarray(-Hd.real * dt_s)
-        )
+        #
+        # The limb split runs on the HOST: on device it is ~30 elementwise
+        # passes of emulated f64 over the full matrix (~30 s at dim 8192),
+        # while native host f64 does it in seconds — and the int8 limb
+        # stacks upload at half the bytes of the f64 planes.  Upload FLAT
+        # and reshape on device: the tunnel moves 1-D buffers at full
+        # bandwidth but crawls on N-D layouts (measured 320 s vs ~2 s for
+        # the same gigabyte at dim 8192).
+        from ..ops.extprec import EXT_LIMBS, ext_split_host
+
+        shape = (EXT_LIMBS, dim, dim)
+        reshape = jax.jit(lambda f: f.reshape(shape))
+        Are = reshape(jax.device_put(ext_split_host(Hd.imag * dt_s).reshape(-1)))
+        Aim = reshape(jax.device_put(ext_split_host(-Hd.real * dt_s).reshape(-1)))
         del Hd
-        jax.block_until_ready(Are)
-        _mark("split")
+        jax.block_until_ready(Aim)
+        _mark("split(host)+upload")
         from ..ops.extprec import ext_add_identity
 
         # Horner init: D = A.  Fresh copies — the D buffers are donated

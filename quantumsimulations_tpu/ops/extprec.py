@@ -1,11 +1,11 @@
 """Extended-precision (float64-accurate) matmuls from MXU-native passes.
 
 This TPU generation emulates f64; XLA's x64 rewriter expands an f64 matmul
-into ~8 bf16-limb passes but materializes every pass at once — a square
+into ~8 limb passes but materializes every pass at once — a square
 8192^2 f64 matmul needs >17 GB and OOMs the chip.  This module implements the
 same idea (Ozaki-scheme splitting) manually with SEQUENCED, bounded-memory
 passes, turning f64-precision square matmuls at dim 8192 from impossible into
-a few seconds of bf16 MXU work.
+a few seconds of int8 MXU work.
 
 Scheme
 ------
@@ -19,16 +19,17 @@ extraction uses only multiply / rint / subtract — exact in (emulated-exact)
 f64 and opaque to XLA's excess-precision simplifier (classic two-sum/Dekker
 patterns get rewritten away on this backend; see dynamics/phase.py).
 
-Each limb is stored as bf16 (integers up to 2^limb_bits are exact in bf16's
-8-bit mantissa).  A product of two limb matrices accumulates integers bounded
-by K * 2^(2*limb_bits) in the MXU's f32 accumulator — with limb_bits=5 and
-K <= 8192 that is < 2^23, so every partial sum is EXACTLY representable:
-the limb products are error-free.  The final sum over limb pairs (k, l) with
-k + l < n_limbs runs in f64; the truncated tail is ~2^-(5*n_limbs) relative.
+Each limb is stored as int8 (values are small exact integers).  A product of
+two limb matrices rides the MXU's native s8xs8->s32 path and accumulates
+integers bounded by K * 2^(2*limb_bits) — with limb_bits=5 and K <= 8192
+that is < 2^23, so every partial sum is EXACTLY representable: the limb
+products are error-free, and i32 diagonal sums of up to n_limbs of them stay
+below 2^31.  The final weighted sum across significance diagonals runs in
+f64; the truncated tail is ~2^-(5*n_limbs) relative.
 
-Cost: ~n_limbs*(n_limbs+1)/2 bf16 matmuls per real f64 matmul — native MXU
-throughput instead of software emulation, with ~2 * n_limbs * M*K*2 bytes of
-limb storage and one f32 product transient.
+Cost: ~n_limbs*(n_limbs+1)/2 int8 matmuls per real f64 matmul — native MXU
+throughput (2x the bf16 rate, half the HBM bytes) instead of software
+emulation, with n_limbs * M*K bytes of limb storage and one i32 transient.
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ N_LIMBS = 11  # 11 * 5 = 55 bits >= f64's 53-bit significand
 
 
 def _limb_split(x: jnp.ndarray, n_limbs: int, limb_bits: int):
-    """(limbs bf16 [n_limbs, ...], scale) with x ~= sum_k limbs[k] * scale * 2^{-limb_bits*k}.
+    """(limbs int8 [n_limbs, ...], scale) with x ~= sum_k limbs[k] * scale * 2^{-limb_bits*k}.
 
     ``scale`` is a power of two with max|x| / scale in [2^(limb_bits-1), 2^limb_bits).
     """
@@ -61,25 +62,30 @@ def _limb_split(x: jnp.ndarray, n_limbs: int, limb_bits: int):
     r = x * inv_scale  # |r| < 2^limb_bits
     for _ in range(n_limbs):
         l = jnp.rint(r)
-        limbs.append(l.astype(jnp.bfloat16))
+        limbs.append(l.astype(jnp.int8))
         r = (r - l) * (2.0**limb_bits)
     return jnp.stack(limbs), scale
 
 
 def _accumulate_products(A, sa, B, sb, out_shape, n_limbs, limb_bits):
     out = jnp.zeros(out_shape, jnp.float64)
-    # Each limb-pair product is EXACT in the f32 accumulator; sums across
-    # pairs must happen in f64 (f32 sums of several ~2^23 products would
-    # round and reintroduce ~1e-8-relative error).  Significance diagonals
-    # are accumulated SMALLEST FIRST: the f64 partial sum then stays small
-    # until the final (largest) diagonals land, so the total rounding is a
-    # few ulp of the result instead of ~n_limbs^2/2 ulp — worth ~25x on the
-    # per-matmul error, which the expm squaring chain amplifies by 2^15.
+    # Each limb-pair product rides the MXU's native s8xs8->s32 path and is
+    # EXACT (|products| <= 2^(2*limb_bits), K-sums <= K * 2^(2*limb_bits),
+    # diagonal sums of <= n_limbs of those stay < 2^31).  Only the weighted
+    # sum ACROSS significance diagonals runs in f64 — one f64 op per
+    # diagonal instead of one per pair, which matters on a backend that
+    # emulates f64 in software.  Diagonals are accumulated SMALLEST FIRST:
+    # the f64 partial sum stays small until the final (largest) diagonals
+    # land, so the total rounding is a few ulp of the result instead of
+    # ~n_limbs/2 ulp — the expm squaring chain amplifies per-matmul error
+    # by 2^15.
     for s in range(n_limbs - 1, -1, -1):
-        w = jnp.exp2(jnp.asarray(-limb_bits * s, jnp.float64))
+        acc = None
         for k in range(s + 1):
-            p = jnp.dot(A[k], B[s - k], preferred_element_type=jnp.float32)
-            out = out + p.astype(jnp.float64) * w
+            p = jnp.dot(A[k], B[s - k], preferred_element_type=jnp.int32)
+            acc = p if acc is None else acc + p
+        w = jnp.exp2(jnp.asarray(-limb_bits * s, jnp.float64))
+        out = out + acc.astype(jnp.float64) * w
     return out * (sa * sb)
 
 
@@ -90,10 +96,11 @@ def matmul_f64(
     n_limbs: int = N_LIMBS,
     limb_bits: int = LIMB_BITS,
 ) -> jnp.ndarray:
-    """f64-precision a @ b via error-free bf16 limb products."""
+    """f64-precision a @ b via error-free int8 limb products."""
     assert a.dtype == jnp.float64 and b.dtype == jnp.float64
     K = a.shape[-1]
-    assert K * (2 ** (2 * limb_bits)) < 2**24, "f32 accumulation would round"
+    # i32 accumulation: K-sums and diagonal sums must stay below 2^31
+    assert K * (2 ** (2 * limb_bits)) * n_limbs < 2**31, "i32 would overflow"
     A, sa = _limb_split(a, n_limbs, limb_bits)
     B, sb = _limb_split(b, n_limbs, limb_bits)
     return _accumulate_products(
@@ -187,8 +194,10 @@ def cmatmul_f64_cplx(a: Cplx, b: Cplx, **kw) -> Cplx:
 # --xla_allow_excess_precision rewrites it away on this backend; integer
 # limb arithmetic is immune.
 #
-# Cost: ~L(L+1)/2 bf16 MXU matmuls per real product (L=EXT_LIMBS), i.e.
-# ~1.6x the single-f64 limb scheme above, for ~70-bit precision.
+# Cost: ~L(L+1)/2 int8 MXU matmuls per real product (L=EXT_LIMBS), i.e.
+# ~1.6x the limb count of the single-f64 scheme above, for ~70-bit precision
+# — but each pass rides the MXU's s8xs8->s32 path (2x the bf16 rate, half
+# the HBM bytes), so the wall-clock is comparable.
 # ===========================================================================
 
 EXT_LIMBS = 15  # 15 * 5 = 75 bits below the grid top
@@ -206,14 +215,35 @@ def _ext_w(j: int) -> float:
 
 
 def ext_split(x: jnp.ndarray, L: int = EXT_LIMBS) -> jnp.ndarray:
-    """f64 -> (L, ...) bf16 canonical limbs on the fixed grid (exact ops)."""
+    """f64 -> (L, ...) int8 canonical limbs on the fixed grid (exact ops).
+
+    int8 storage (limbs are small exact integers): half the HBM footprint of
+    bf16 and the MXU's s8xs8->s32 path runs the limb products ~1.5x faster
+    than bf16xbf16->f32 (measured at dim 8192 on v5e).
+    """
     limbs = []
     r = x * (2.0 ** (5 - EXT_E))  # |r| < 2^5 for |x| < 2^EXT_E
     for _ in range(L):
         l = jnp.rint(r)
-        limbs.append(l.astype(jnp.bfloat16))
+        limbs.append(l.astype(jnp.int8))
         r = (r - l) * 32.0
     return jnp.stack(limbs)
+
+
+def ext_split_host(x: np.ndarray, L: int = EXT_LIMBS) -> np.ndarray:
+    """Host-side (numpy) ext_split: f64 -> (L, ...) int8 canonical limbs.
+
+    On the TPU the device split runs ~30 elementwise passes of EMULATED f64
+    over the full matrix (~30 s at dim 8192 through the tunnel); native host
+    f64 does it in seconds, and the int8 limbs transfer at half the bytes of
+    the f64 source."""
+    limbs = np.empty((L,) + x.shape, np.int8)
+    r = x * (2.0 ** (5 - EXT_E))
+    for j in range(L):
+        l = np.rint(r)
+        limbs[j] = l.astype(np.int8)
+        r = (r - l) * 32.0
+    return limbs
 
 
 def ext_val(limbs: jnp.ndarray) -> jnp.ndarray:
@@ -226,7 +256,7 @@ def ext_val(limbs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ext_carry(d: jnp.ndarray) -> jnp.ndarray:
-    """Exact carry cascade: (L, ...) f64 integer digits -> canonical bf16 limbs.
+    """Exact carry cascade: (L, ...) f64 integer digits -> canonical int8 limbs.
 
     Digits may be up to ~2^30; carries propagate toward significance (j-1).
     The top carry is folded into limb 0 (values stay within the grid by
@@ -238,13 +268,13 @@ def _ext_carry(d: jnp.ndarray) -> jnp.ndarray:
     for j in range(L - 1, 0, -1):
         t = d[j] + carry
         carry = jnp.rint(t * (1.0 / 32.0))
-        limbs[j] = (t - carry * 32.0).astype(jnp.bfloat16)
-    limbs[0] = (d[0] + carry).astype(jnp.bfloat16)
+        limbs[j] = (t - carry * 32.0).astype(jnp.int8)
+    limbs[0] = (d[0] + carry).astype(jnp.int8)
     return jnp.stack(limbs)
 
 
 def _ext_carry_i32(d: jnp.ndarray) -> jnp.ndarray:
-    """Exact carry cascade on int32 digits -> canonical bf16 limbs.
+    """Exact carry cascade on int32 digits -> canonical int8 limbs.
 
     Same contract as `_ext_carry` but in native integer arithmetic: on TPU
     f64 is software-emulated on the VPU while i32 add/shift are native, so
@@ -260,8 +290,8 @@ def _ext_carry_i32(d: jnp.ndarray) -> jnp.ndarray:
     for j in range(L - 1, 0, -1):
         t = d[j] + carry
         carry = (t + 16) >> 5  # floor((t+16)/32): nearest, ties toward +inf
-        limbs[j] = (t - (carry << 5)).astype(jnp.bfloat16)
-    limbs[0] = (d[0] + carry).astype(jnp.bfloat16)
+        limbs[j] = (t - (carry << 5)).astype(jnp.int8)
+    limbs[0] = (d[0] + carry).astype(jnp.int8)
     return jnp.stack(limbs)
 
 
@@ -271,7 +301,7 @@ def ext_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def ext_neg(a: jnp.ndarray) -> jnp.ndarray:
-    return (-a.astype(jnp.float64)).astype(jnp.bfloat16)
+    return (-a.astype(jnp.int32)).astype(jnp.int8)
 
 
 def ext_scalar_limbs(c, L: int = EXT_LIMBS) -> tuple[float, ...]:
@@ -323,11 +353,11 @@ def ext_cmatmul(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-to-truncation complex matmul of canonical ext stacks.
 
-    Inputs/outputs: (L, M, K) / (L, K, N) bf16 canonical limbs on the fixed
-    grid.  Each limb-pair product is an exact integer bf16 MXU pass (bounded
-    K * 2^10 < 2^23 in the f32 accumulator); significance diagonals are exact
-    integer f64 sums; the carry cascade renormalizes.  The ONLY error is the
-    truncation of diagonals >= L (~2^(EXT_E-5L) absolute).
+    Inputs/outputs: (L, M, K) / (L, K, N) int8 canonical limbs on the fixed
+    grid.  Each limb-pair product is an exact integer s8xs8->s32 MXU pass
+    (|products| <= 2^8, K-sums <= K * 2^8 << 2^31); significance diagonals
+    are exact native-i32 sums; the carry cascade renormalizes.  The ONLY
+    error is the truncation of diagonals >= L (~2^(EXT_E-5L) absolute).
 
     Grid bookkeeping: limb j carries weight 2^(E-5(j+1)); with E = 5 the
     product of limbs (j, i) has weight 2^(10-5(j+i+2)) = 2^(5-5(j+i+1)) =
@@ -354,17 +384,17 @@ def ext_cmatmul(
             acc_re = None
             acc_im = None
             # product of limbs (j, i) with j + i == s, both < L.  Each MXU
-            # dot is exact in its f32 accumulator (|.| <= K*2^10 < 2^24);
-            # the f32->i32 convert is exact (integer values), and diagonal
-            # sums (<= 2^27) stay exact in native i32 — no emulated f64.
+            # dot runs the native s8xs8->s32 path (exact by construction:
+            # |products| <= 2^8, K-sums <= K*2^8 << 2^31); diagonal sums
+            # (<= 2^27) stay exact in native i32 — no emulated f64 anywhere.
             for j in range(max(0, s - L + 1), min(s + 1, L)):
                 i = s - j
-                rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.float32)
-                ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
-                ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
-                ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
-                re_c = rr.astype(jnp.int32) - ii.astype(jnp.int32)
-                im_c = ri.astype(jnp.int32) + ir.astype(jnp.int32)
+                rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.int32)
+                ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.int32)
+                ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.int32)
+                ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.int32)
+                re_c = rr - ii
+                im_c = ri + ir
                 acc_re = re_c if acc_re is None else acc_re + re_c
                 acc_im = im_c if acc_im is None else acc_im + im_c
             d_re.append(acc_re)
@@ -390,8 +420,8 @@ def ext_cmatmul(
         return (c_re, c_im), None
 
     init = (
-        jnp.zeros((L, M, N), jnp.bfloat16),
-        jnp.zeros((L, M, N), jnp.bfloat16),
+        jnp.zeros((L, M, N), jnp.int8),
+        jnp.zeros((L, M, N), jnp.int8),
     )
     (c_re, c_im), _ = jax.lax.scan(body, init, jnp.arange(n_panels))
     return c_re, c_im
@@ -427,12 +457,12 @@ def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L):
         acc_im = None
         for j in range(max(0, s - L + 1), min(s + 1, L)):
             i = s - j
-            rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.float32)
-            ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.float32)
-            ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.float32)
-            ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.float32)
-            re_c = rr.astype(jnp.int32) - ii.astype(jnp.int32)
-            im_c = ri.astype(jnp.int32) + ir.astype(jnp.int32)
+            rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.int32)
+            ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.int32)
+            ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.int32)
+            ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.int32)
+            re_c = rr - ii
+            im_c = ri + ir
             acc_re = re_c if acc_re is None else acc_re + re_c
             acc_im = im_c if acc_im is None else acc_im + im_c
         d_re.append(acc_re)
@@ -486,8 +516,8 @@ def ext_taylor_horner(
         return (c_re, c_im), None
 
     init = (
-        jnp.zeros((L, M, N), jnp.bfloat16),
-        jnp.zeros((L, M, N), jnp.bfloat16),
+        jnp.zeros((L, M, N), jnp.int8),
+        jnp.zeros((L, M, N), jnp.int8),
     )
     (c_re, c_im), _ = jax.lax.scan(scan_body, init, jnp.arange(n_panels))
     return c_re, c_im
@@ -507,8 +537,8 @@ def taylor_coeff_limbs(degree: int, Lc: int = EXT_LIMBS) -> np.ndarray:
 def ext_add_identity(a: jnp.ndarray) -> jnp.ndarray:
     """a + I in the limb domain (1.0 sits exactly on limb 0: w(0) = 1)."""
     n = a.shape[1]
-    eye = jnp.eye(n, dtype=jnp.float64)
-    return a.at[0].set((a[0].astype(jnp.float64) + eye).astype(jnp.bfloat16))
+    eye = jnp.eye(n, dtype=jnp.int32)
+    return a.at[0].set((a[0].astype(jnp.int32) + eye).astype(jnp.int8))
 
 
 ext_scalar_mul_jit = jax.jit(ext_scalar_mul, static_argnums=(1,))

@@ -20,7 +20,7 @@ operator BY ROWS over a mesh axis and feeding the limb-product panels with
     step operator yields each device's rows, re-replicated with one
     all_gather per block advance.
 
-Per-device memory at dim D over P devices: ~2*(2*L*D^2/P) bytes of bf16
+Per-device memory at dim D over P devices: ~2*(L*D^2/P) bytes of int8
 limbs + (L, D, panel) gathered panel + f64 planes — dim 16384 fits 4x v5e,
 dim 32768 fits a v5p-8 slice.
 
@@ -46,14 +46,17 @@ _TAYLOR_THETA = 1.0
 
 
 def auto_limb_cfg(dim: int) -> tuple[int, int]:
-    """(n_limbs, limb_bits) so the f32 accumulator never rounds.
+    """(n_limbs, limb_bits) so the i32 accumulator never overflows.
 
-    Constraint: dim * 2^(2*limb_bits) < 2^24; keep >= 55 bits of significand.
+    Constraint: dim * 2^(2*limb_bits) * n_limbs < 2^31 (int8 MXU products,
+    exact i32 diagonal sums); keep >= 55 bits of significand.  5-bit limbs
+    (11 of them) hold to dim ~190k — far past any reachable Hilbert space.
     """
     for bits in (5, 4, 3):
-        if dim * (2 ** (2 * bits)) < 2**24:
-            return (int(np.ceil(55 / bits)), bits)
-    raise ValueError(f"dim {dim} too large for exact f32 limb accumulation")
+        n = int(np.ceil(55 / bits))
+        if dim * (2 ** (2 * bits)) * n < 2**31:
+            return (n, bits)
+    raise ValueError(f"dim {dim} too large for exact i32 limb accumulation")
 
 
 def _split_with_scale(x, inv_scale, n_limbs: int, limb_bits: int):
@@ -62,7 +65,7 @@ def _split_with_scale(x, inv_scale, n_limbs: int, limb_bits: int):
     r = x * inv_scale
     for _ in range(n_limbs):
         l = jnp.rint(r)
-        limbs.append(l.astype(jnp.bfloat16))
+        limbs.append(l.astype(jnp.int8))
         r = (r - l) * (2.0**limb_bits)
     return jnp.stack(limbs)
 
@@ -81,10 +84,11 @@ def _sharded_cmatmul_prelimbed(
 ):
     """Row-sharded complex product C = A @ B_global from pre-split limbs.
 
-    A*, B*: (L, rows_local, dim) bf16 limbs (row-sharded).  Returns
+    A*, B*: (L, rows_local, dim) int8 limbs (row-sharded).  Returns
     (C_re, C_im) row-sharded f64.  One tiled all_gather of B's panel limbs
-    per column panel; diagonals accumulate smallest-first in f64 (exact bf16
-    MXU products, same bound as ops/extprec.matmul_f64).
+    per column panel; diagonals accumulate exactly in i32 then smallest-first
+    in f64 (native s8xs8->s32 MXU products, same bound as
+    ops/extprec.matmul_f64).
     """
     rows_local = Ar.shape[1]
     n_panels = dim // panel

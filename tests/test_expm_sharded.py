@@ -38,11 +38,13 @@ def _eig_rows(model, t):
 
 
 def test_auto_limb_cfg():
-    # 55+ bits of significand, exact f32 accumulation at each size
+    # 55+ bits of significand, exact i32 accumulation at each size
     for dim in (128, 8192, 16384, 32768):
         n_limbs, bits = auto_limb_cfg(dim)
         assert n_limbs * bits >= 55
-        assert dim * 4**bits < 2**24
+        assert dim * 4**bits * n_limbs < 2**31
+    # 5-bit limbs (the cheapest config) hold through every reachable dim
+    assert auto_limb_cfg(32768) == (11, 5)
 
 
 @requires_8

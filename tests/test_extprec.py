@@ -264,14 +264,21 @@ def test_ext_chunked_matches_fused(monkeypatch):
 def test_ext_carry_i32_value_exact():
     """The native-i32 carry cascade produces canonical limbs representing
     EXACTLY the same value as the f64 cascade (their tie-rounding may differ,
-    but t = 32*carry + residual holds exactly in both)."""
+    but t = 32*carry + residual holds exactly in both).
+
+    Digits respect the grid contract |sum_j d_j w_j| < 2^EXT_E (true for all
+    real callers, whose chain values are bounded by ~e^theta): each digit is
+    capped at its significance's share so the top limb stays in int8."""
     from quantumsimulations_tpu.ops.extprec import _ext_carry, _ext_carry_i32
 
     rng = np.random.default_rng(3)
-    d = rng.integers(-(2**26), 2**26, size=(EXT_LIMBS + EXT_GUARD, 8, 8))
+    caps = [int(min(2**26, 32**j)) for j in range(EXT_LIMBS + EXT_GUARD)]
+    d = np.stack([
+        rng.integers(-c, c + 1, size=(8, 8)) for c in caps
+    ])
     via_i32 = _ext_carry_i32(jnp.asarray(d, jnp.int32))
     via_f64 = _ext_carry(jnp.asarray(d, jnp.float64))
     fi, ff = _frac_of(via_i32), _frac_of(via_f64)
     assert all(fi[r][c] == ff[r][c] for r in range(8) for c in range(8))
-    # canonical residual bound: every non-top limb fits the bf16-exact range
+    # canonical residual bound: every non-top limb fits the int8 range
     assert np.abs(np.asarray(via_i32, np.float64)[1:]).max() <= 16
