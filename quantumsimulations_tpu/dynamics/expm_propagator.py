@@ -328,12 +328,105 @@ def expm_traces_assembled_ozaki(
 
 _EXT_THETA = 1.0 / 16.0  # ||H|| * dt_scaled bound for the Taylor core
 _EXT_DEGREE = 10  # truncation (theta^11/11!) ~ 1.4e-21, << the limb floor
-_EXT_ADV_LIMBS = 12  # limbs of U_B used in the (linear-error) advance chain
+_EXT_OBS_Q = 11  # product diagonals kept in observable recombination (~2^-45)
+
+
+def _ext_obs_pairs(q: int = _EXT_OBS_Q):
+    """Limb-pair index tables (j, i, weight) for observable products.
+
+    value(a)*value(b) = sum_{j,i} a_j b_i 2^(2*EXT_E - 5*(j+i+2)); keeping
+    pairs with j+i < q truncates at 2^(2*EXT_E - 5*(q+1)) absolute — q=11
+    is ~2^-50, far below f64 on O(1) observables."""
+    from ..ops.extprec import EXT_E
+
+    jj, ii, w2 = [], [], []
+    for s in range(q):
+        for j in range(s + 1):
+            jj.append(j)
+            ii.append(s - j)
+            w2.append(2.0 ** (2 * EXT_E - 5 * (s + 2)))
+    return np.asarray(jj), np.asarray(ii), np.asarray(w2)
+
+
+_EXT_PAIRS = _ext_obs_pairs()
+
+
+def _ext_site_obs(S_re, S_im, dims):
+    """Per-site <Sx,Sy,Sz> + norm^2 DIRECTLY from ext limb state stacks.
+
+    S_re, S_im: (L, dim, T) int8 canonical limbs.  Returns
+    ((n_sites, 3, T) f64, (T,) f64 norm^2).
+
+    Every sum_rows(plane_a * plane_b) runs as MXU int8 dots over limb pairs:
+    diag(A_j^T B_i) summed with the pair weights.  The state is never
+    materialized in f64 — emulated-f64 elementwise traffic was the dominant
+    cost of the previous advance loop (~4 s per 128-column block at dim 8192
+    for the einsum observables; ~1 GB/s effective)."""
+    from ..ops.spin import spin_matrix
+
+    L, dim, T = S_re.shape
+    jj, ii, w2 = _EXT_PAIRS
+    P = len(jj)
+    jjd, iid, w2d = jnp.asarray(jj), jnp.asarray(ii), jnp.asarray(w2)
+    n_sites = len(dims)
+    outs = []
+    norm2 = None
+    for site in range(n_sites):
+        dl = int(np.prod(dims[:site], dtype=np.int64)) if site > 0 else 1
+        d = dims[site]
+        dr = int(np.prod(dims[site + 1 :], dtype=np.int64)) if site + 1 < n_sites else 1
+        R = dl * dr
+        r5 = S_re.reshape(L, dl, d, dr, T)
+        i5 = S_im.reshape(L, dl, d, dr, T)
+        levels = [
+            (r5[:, :, a].reshape(L, R, T), i5[:, :, a].reshape(L, R, T))
+            for a in range(d)
+        ]
+        s_spin = (d - 1) / 2.0
+        jx = np.real(spin_matrix(s_spin, "x"))
+        jyc = -np.imag(spin_matrix(s_spin, "y"))  # Jy[a,a+1] = -i c_a
+        jz = np.real(np.diag(spin_matrix(s_spin, "z")))
+
+        def body(acc, p, levels=levels, d=d, jx=jx, jyc=jyc, jz=jz):
+            ex, ey, ez, nr = acc
+            j, i, w = jjd[p], iid[p], w2d[p]
+
+            def sl(u, k):
+                return jax.lax.dynamic_slice_in_dim(u, k, 1, axis=0)[0]
+
+            def ddot(u, v):
+                m = jax.lax.dot_general(
+                    u, v, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return jnp.diagonal(m).astype(jnp.float64)
+
+            lev = [(sl(lr, j), sl(lr, i), sl(li, j), sl(li, i)) for lr, li in levels]
+            for a in range(d):
+                raj, rai, iaj, iai = lev[a]
+                da = ddot(raj, rai) + ddot(iaj, iai)
+                ez = ez + (w * jz[a]) * da
+                nr = nr + w * da
+                if a + 1 < d:
+                    rbj, rbi, ibj, ibi = lev[a + 1]
+                    cx = 2.0 * float(jx[a, a + 1])
+                    cy = 2.0 * float(jyc[a, a + 1])
+                    # conj(psi_a) psi_b: Re = ra rb + ia ib, Im = ra ib - ia rb
+                    ex = ex + (w * cx) * (ddot(raj, rbi) + ddot(iaj, ibi))
+                    ey = ey + (w * cy) * (ddot(raj, ibi) - ddot(iaj, rbi))
+            return (ex, ey, ez, nr), None
+
+        z0 = jnp.zeros((T,), jnp.float64)
+        (ex, ey, ez, nr), _ = jax.lax.scan(body, (z0, z0, z0, z0), jnp.arange(P))
+        outs.append(jnp.stack([ex, ey, ez]))
+        if site == 0:
+            norm2 = nr  # sum over site-0 levels IS sum_i |psi_i|^2
+    return jnp.stack(outs), norm2
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_sq", "degree", "log2_block", "nl", "panel"),
+    static_argnames=("n_sq", "degree", "log2_block", "panel"),
 )
 def _ext_expm_program(
     h_im_dt,
@@ -344,19 +437,18 @@ def _ext_expm_program(
     n_sq: int,
     degree: int,
     log2_block: int,
-    nl: int,
     panel: int,
 ):
     """ONE device program: (seed states, U^block limbs) from H and psi0.
 
-    Pipeline (everything in the exact limb domain):
+    Pipeline (everything in the exact limb domain — the STATE TOO):
       A = ext_split(-i H dt / 2^n_sq)            # exact 75-bit limbs
       U = I + Horner(exp(A) - I)                  # panel-wise, exact
       U = U^(2^n_sq)                              # fori of exact squarings
-      U -> first `nl` limbs (the advance chain's linear-error budget)
-      doubling pass (fori, padded state buffer):  # seeds + U^block together
-        S[:, 2^k:2^{k+1}] = U^(2^k) @ S[:, :2^k];  U <- U @ U
-    Returns (S_re, S_im, B_re, B_im) with B = U^block as nl-limb stacks.
+      doubling pass (fori, padded limb-state buffer):
+        S[:, :, 2^k:2^{k+1}] = U^(2^k) @ S[:, :, :2^k];  U <- U @ U
+    Returns (S_re, S_im, B_re, B_im): (L, dim, block) seed-state limb stacks
+    and B = U^block full-L stacks.  States never touch f64.
 
     Fusing the chain into one dispatch matters twice on this backend: each
     extra program costs seconds of relay round-trip latency through the TPU
@@ -384,34 +476,31 @@ def _ext_expm_program(
     if n_sq > 0:
         U_re, U_im = jax.lax.fori_loop(0, n_sq, sq_full, (U_re, U_im))
 
-    # truncate to the advance-chain limb budget; the remaining squarings and
-    # all applies accumulate error linearly (~2^-(5*nl) per op)
-    B_re, B_im = U_re[:nl], U_im[:nl]
-
     block = 1 << log2_block
     dim = h_im_dt.shape[0]
-    S_re = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p_re)
-    S_im = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(p_im)
+    L = Are.shape[0]
+    S_re = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(ext_split(p_re))
+    S_im = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(ext_split(p_im))
 
     def dbl(k, carry):
         S_re, S_im, B_re, B_im = carry
         # apply U^(2^k) to the WHOLE padded buffer (dead columns are garbage,
         # overwritten below or never read); shift live columns by 2^k steps
-        n_re, n_im = _ext_apply_blocks(B_re, B_im, S_re, S_im, nl)
+        n_re, n_im = ext_cmatmul(B_re, B_im, S_re, S_im, panel=min(panel, block))
         w = 1 << k
         mask = (jnp.arange(block) >= w) & (jnp.arange(block) < 2 * w)
-        shifted_re = jnp.roll(n_re, 1 << k, axis=1)
-        shifted_im = jnp.roll(n_im, 1 << k, axis=1)
-        S_re = jnp.where(mask[None, :], shifted_re, S_re)
-        S_im = jnp.where(mask[None, :], shifted_im, S_im)
+        shifted_re = jnp.roll(n_re, w, axis=2)
+        shifted_im = jnp.roll(n_im, w, axis=2)
+        S_re = jnp.where(mask[None, None, :], shifted_re, S_re)
+        S_im = jnp.where(mask[None, None, :], shifted_im, S_im)
         B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
         return S_re, S_im, B_re, B_im
 
     if log2_block > 0:
-        S_re, S_im, B_re, B_im = jax.lax.fori_loop(
-            0, log2_block, dbl, (S_re, S_im, B_re, B_im)
+        S_re, S_im, U_re, U_im = jax.lax.fori_loop(
+            0, log2_block, dbl, (S_re, S_im, U_re, U_im)
         )
-    return S_re, S_im, B_re, B_im
+    return S_re, S_im, U_re, U_im
 
 
 # --- chunked-dispatch variants of the fused program -----------------------
@@ -432,7 +521,7 @@ _EXT_CHUNK_DIM = 4096  # use chunked dispatches at/above this dim
 # dim 8192, so these sizes keep every dispatch well under a minute.
 _EXT_HORNER_CHUNK = 5  # Horner iterations per dispatch
 _EXT_SQ_CHUNK = 6  # squarings per dispatch
-_EXT_DBL_CHUNK = 7  # doubling passes per dispatch
+_EXT_DBL_CHUNK = 16  # doubling passes per dispatch (static widths: one program)
 _EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
 
 
@@ -518,77 +607,64 @@ def _ext_square_chunk(U_re, U_im, n: int, panel: int):
 
 @partial(
     jax.jit,
-    static_argnames=("n", "nl", "panel"),
+    static_argnames=("k0", "n", "panel"),
     donate_argnums=(0, 1, 2, 3),
 )
-def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0, n: int, nl: int, panel: int):
-    """Doubling passes k = k0 .. k0+n-1 of the seed/step-power chain."""
+def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0: int, n: int, panel: int):
+    """Doubling passes k = k0 .. k0+n-1 of the seed/step-power chain.
+
+    State stacks are (L, dim, block) int8 limbs.  Unrolled with STATIC
+    widths: pass k applies U^(2^k) only to the 2^k live seed columns (the
+    fused program's fori applies to the whole padded buffer — sum(2^k) vs
+    n*block work).  Identical values: the limb matmul is columnwise, dead
+    columns never feed live ones.
+    """
     from ..ops.extprec import ext_cmatmul
 
-    block = S_re.shape[1]
-    idx = jnp.arange(block)
-
-    def body(i, carry):
-        S_re, S_im, B_re, B_im = carry
-        n_re, n_im = _ext_apply_blocks(B_re, B_im, S_re, S_im, nl)
-        w = jnp.left_shift(1, k0 + i)
-        mask = (idx >= w) & (idx < 2 * w)
-        S_re = jnp.where(mask[None, :], jnp.roll(n_re, w, axis=1), S_re)
-        S_im = jnp.where(mask[None, :], jnp.roll(n_im, w, axis=1), S_im)
+    for i in range(n):
+        w = 1 << (k0 + i)
+        live_re = jax.lax.slice_in_dim(S_re, 0, w, axis=2)
+        live_im = jax.lax.slice_in_dim(S_im, 0, w, axis=2)
+        n_re, n_im = ext_cmatmul(B_re, B_im, live_re, live_im, panel=min(panel, w))
+        S_re = jax.lax.dynamic_update_slice_in_dim(S_re, n_re, w, axis=2)
+        S_im = jax.lax.dynamic_update_slice_in_dim(S_im, n_im, w, axis=2)
         B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
-        return S_re, S_im, B_re, B_im
-
-    return jax.lax.fori_loop(0, n, body, (S_re, S_im, B_re, B_im))
+    return S_re, S_im, B_re, B_im
 
 
-@partial(jax.jit, static_argnames=("n_limbs",))
-def _ext_apply_blocks(Lr, Li, S_re, S_im, n_limbs: int):
-    """(ext U limbs, scale 1) @ f64 state block, complex.
-
-    The ext limbs are int8 on the SAME 5-bit grid the N_LIMBS scheme uses
-    (weight 2^(-5k) with scale 1), so they pass straight through as
-    pre-split operands."""
-    from ..ops.extprec import matmul_f64_prelimbed
-
-    one = jnp.asarray(1.0, jnp.float64)
-    rr = matmul_f64_prelimbed(Lr, one, S_re, n_limbs=n_limbs)
-    ii = matmul_f64_prelimbed(Li, one, S_im, n_limbs=n_limbs)
-    ri = matmul_f64_prelimbed(Lr, one, S_im, n_limbs=n_limbs)
-    ir = matmul_f64_prelimbed(Li, one, S_re, n_limbs=n_limbs)
-    return rr - ii, ri + ir
-
-
-@partial(jax.jit, static_argnames=("n_blocks", "dims", "idx_rare", "n_limbs"))
+@partial(jax.jit, static_argnames=("n_blocks", "dims", "idx_rare"))
 def _ext_advance_scan(
-    Lr, Li, S_re, S_im, sea_mask, e0, n_blocks: int, dims, idx_rare: int, n_limbs: int
+    B_re, B_im, S_re, S_im, sea_mask, e0, n_blocks: int, dims, idx_rare: int
 ):
     """The whole block-advance trace loop as ONE device program.
 
-    The round-1 per-block host dispatch loop spent ~4 s/block in relay
-    round-trips (~600 s of a 828 s N=12 trace); a lax.scan with the limb
-    stacks as carried-in ARGUMENTS (never closure constants) makes it one
-    dispatch.
-    """
-    from ..ops.extprec import matmul_f64_prelimbed
+    B and S are (L, dim, dim) / (L, dim, block) int8 limb stacks: the state
+    is carried in the exact limb domain across blocks, observables come out
+    of `_ext_site_obs` (int8 MXU dots), and the advance itself is one
+    `ext_cmatmul` per block — NO f64 state materialization anywhere, which
+    was the dominant advance cost (the per-block f64 state split plus
+    emulated-f64 einsum observables ran ~4 s/block at dim 8192).
 
-    one = jnp.asarray(1.0, jnp.float64)
+    The round-1 per-block host dispatch loop spent ~4 s/block in relay
+    round-trips; a lax.scan with the limb stacks as carried-in ARGUMENTS
+    (never closure constants) makes each chunk one dispatch.
+    """
+    from ..ops.extprec import ext_cmatmul
+
+    T = S_re.shape[-1]
 
     def body(S, _):
         S_re, S_im = S
-        states = Cplx(S_re, S_im)
-        xyz = site_xyz_expectations(states, dims)
-        norms = state_norms(states)
+        xyz, norm2 = _ext_site_obs(S_re, S_im, dims)
+        norms = jnp.sqrt(norm2)
         sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
         rare = xyz[idx_rare]
         rows = jnp.stack(
             [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
              jnp.full(norms.shape, e0)]
         )
-        rr = matmul_f64_prelimbed(Lr, one, S_re, n_limbs=n_limbs)
-        ii = matmul_f64_prelimbed(Li, one, S_im, n_limbs=n_limbs)
-        ri = matmul_f64_prelimbed(Lr, one, S_im, n_limbs=n_limbs)
-        ir = matmul_f64_prelimbed(Li, one, S_re, n_limbs=n_limbs)
-        return (rr - ii, ri + ir), rows
+        n_re, n_im = ext_cmatmul(B_re, B_im, S_re, S_im, panel=T)
+        return (n_re, n_im), rows
 
     (S_re, S_im), rows = jax.lax.scan(body, (S_re, S_im), None, length=n_blocks)
     return rows.reshape(-1), S_re, S_im  # rows flat for the tunnel
@@ -601,7 +677,7 @@ def expm_traces_assembled_ext(
     dims: tuple[int, ...],
     n_sea_effective: int,
     idx_rare: int,
-    block: int = 128,
+    block: int = 512,
     panel: int = 512,
 ) -> np.ndarray:
     """Assembled rows (8, T) via the ext (parity-grade) step operator.
@@ -662,7 +738,6 @@ def expm_traces_assembled_ext(
     dt_s = dt / (2**n_sq)
 
     coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
-    nl = _EXT_ADV_LIMBS
     log2_block = int(np.log2(block))
     pan = min(panel, dim)
 
@@ -676,7 +751,6 @@ def expm_traces_assembled_ext(
             n_sq=n_sq,
             degree=_EXT_DEGREE,
             log2_block=log2_block,
-            nl=nl,
             panel=pan,
         )
         del Hd
@@ -733,20 +807,20 @@ def expm_traces_assembled_ext(
             jax.block_until_ready(U_re)
             remaining -= n
         _mark(f"squarings({n_sq} matmuls)")
-        B_re, B_im = jnp.copy(U_re[:nl]), jnp.copy(U_im[:nl])
-        del U_re, U_im
-        jax.block_until_ready(B_re)
-        S_re = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(
-            jnp.asarray(psi0.real)
+        B_re, B_im = U_re, U_im  # full-L step-power stacks; B = U from here
+        from ..ops.extprec import EXT_LIMBS as _L
+
+        S_re = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
+            jax.device_put(ext_split_host(np.ascontiguousarray(psi0.real)))
         )
-        S_im = jnp.zeros((dim, block), jnp.float64).at[:, 0].set(
-            jnp.asarray(psi0.imag)
+        S_im = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
+            jax.device_put(ext_split_host(np.ascontiguousarray(psi0.imag)))
         )
         k0 = 0
         while k0 < log2_block:
             n = min(_EXT_DBL_CHUNK, log2_block - k0)
             S_re, S_im, B_re, B_im = _ext_dbl_chunk(
-                S_re, S_im, B_re, B_im, jnp.asarray(k0), n, nl, pan
+                S_re, S_im, B_re, B_im, k0, n, pan
             )
             jax.block_until_ready(S_re)
             k0 += n
@@ -760,7 +834,7 @@ def expm_traces_assembled_ext(
     while done < n_blocks:
         flat, S_re, S_im = _ext_advance_scan(
             B_re, B_im, S_re, S_im, sea_mask, e0,
-            adv_chunk, dims, idx_rare, nl,
+            adv_chunk, dims, idx_rare,
         )
         flats.append(np.asarray(flat))
         done += adv_chunk

@@ -238,11 +238,13 @@ def ext_split_host(x: np.ndarray, L: int = EXT_LIMBS) -> np.ndarray:
     f64 does it in seconds, and the int8 limbs transfer at half the bytes of
     the f64 source."""
     limbs = np.empty((L,) + x.shape, np.int8)
-    r = x * (2.0 ** (5 - EXT_E))
+    r = np.array(x * (2.0 ** (5 - EXT_E)))  # fresh buffer, mutated in place
+    l = np.empty_like(r)
     for j in range(L):
-        l = np.rint(r)
-        limbs[j] = l.astype(np.int8)
-        r = (r - l) * 32.0
+        np.rint(r, out=l)
+        limbs[j] = l  # cast-copy to int8
+        r -= l
+        r *= 32.0  # in-place: allocation-free passes are ~6x faster here
     return limbs
 
 
