@@ -22,6 +22,7 @@ fixed m, which keeps everything static-shaped for XLA.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable
 
@@ -264,8 +265,8 @@ def krylov_traces_assembled(
     hpsi = H.apply(psi_init, diag=diag)
     e0 = float(np.asarray(jnp.sum(psi_init.re * hpsi.re + psi_init.im * hpsi.im)))
 
-    @partial(jax.jit, static_argnames=("dims_", "idx_rare_"))
-    def scan_all(psi0_, mask, dims_, idx_rare_):
+    @partial(jax.jit, static_argnames=("dims_", "idx_rare_", "n_steps"))
+    def scan_chunk(psi0_, mask, dims_, idx_rare_, n_steps):
         def body(psi, _):
             st = psi.reshape(psi.shape + (1,))
             xyz = site_xyz_expectations(st, dims_)[..., 0]  # (n, 3)
@@ -275,12 +276,25 @@ def krylov_traces_assembled(
             row = jnp.stack([sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], nrm])
             return step(psi), row
 
-        _, rows = jax.lax.scan(body, psi0_, None, length=T)
-        return rows.reshape(-1)  # flat (T*7,) for the tunnel
+        psi, rows = jax.lax.scan(body, psi0_, None, length=n_steps)
+        return rows.reshape(-1), psi  # rows flat for the tunnel
 
-    flat = np.asarray(scan_all(psi_init, sea_mask, dims, idx_rare))
+    # bound the Lanczos substeps per device dispatch: at production ||H|| a
+    # single all-T program runs for tens of minutes and the TPU tunnel kills
+    # it (observed worker crash at n_sea=13); chunked dispatches with host
+    # syncs are the same math
+    sub_budget = int(os.environ.get("QST_KRYLOV_DISPATCH_SUBSTEPS", "4000"))
+    chunk = max(1, min(T, sub_budget // max(n_sub, 1)))
+    flats = []
+    psi = psi_init
+    done = 0
+    while done < T:
+        n = int(min(chunk, T - done))
+        flat, psi = scan_chunk(psi, sea_mask, dims, idx_rare, n)
+        flats.append(np.asarray(flat))
+        done += n
     rows = np.empty((8, T))
-    rows[:7] = flat.reshape(T, 7).T
+    rows[:7] = np.concatenate(flats).reshape(T, 7).T
     rows[7] = e0
     return rows
 
