@@ -215,12 +215,16 @@ def make_krylov_step(
         diag = jnp.asarray(H.diagonal_part())
         apply_h = lambda psi: H.apply(psi, diag=diag)
 
-    def step(psi: Cplx) -> Cplx:
+    def substeps(psi: Cplx, k: int) -> Cplx:
         def body(_, p):
             return _lanczos_expm_substep(apply_h, p, dt_sub, m, axis_name=axis_name)
 
-        return jax.lax.fori_loop(0, n_sub, body, psi)
+        return jax.lax.fori_loop(0, k, body, psi)
 
+    def step(psi: Cplx) -> Cplx:
+        return substeps(psi, n_sub)
+
+    step.substeps = substeps  # for bounded-duration segmented dispatching
     return step, n_sub
 
 
@@ -283,19 +287,43 @@ def krylov_traces_assembled(
     # single all-T program runs for tens of minutes and the TPU tunnel kills
     # it (observed worker crash at n_sea=13); chunked dispatches with host
     # syncs are the same math
-    sub_budget = int(os.environ.get("QST_KRYLOV_DISPATCH_SUBSTEPS", "4000"))
-    chunk = max(1, min(T, sub_budget // max(n_sub, 1)))
-    flats = []
-    psi = psi_init
-    done = 0
-    while done < T:
-        n = int(min(chunk, T - done))
-        flat, psi = scan_chunk(psi, sea_mask, dims, idx_rare, n)
-        flats.append(np.asarray(flat))
-        done += n
+    sub_budget = int(os.environ.get("QST_KRYLOV_DISPATCH_SUBSTEPS", "2000"))
     rows = np.empty((8, T))
-    rows[:7] = np.concatenate(flats).reshape(T, 7).T
     rows[7] = e0
+    if n_sub <= sub_budget:
+        # whole output steps per dispatch
+        chunk = max(1, min(T, sub_budget // max(n_sub, 1)))
+        flats = []
+        psi = psi_init
+        done = 0
+        while done < T:
+            n = int(min(chunk, T - done))
+            flat, psi = scan_chunk(psi, sea_mask, dims, idx_rare, n)
+            flats.append(np.asarray(flat))
+            done += n
+        rows[:7] = np.concatenate(flats).reshape(T, 7).T
+        return rows
+
+    # one output step exceeds the dispatch budget: segment INSIDE the step
+    @partial(jax.jit, static_argnames=("dims_", "idx_rare_"))
+    def obs_row(psi, mask, dims_, idx_rare_):
+        st = psi.reshape(psi.shape + (1,))
+        xyz = site_xyz_expectations(st, dims_)[..., 0]
+        nrm = state_norms(st)[0]
+        sea = jnp.einsum("j,jo->o", mask, xyz)
+        rare = xyz[idx_rare_]
+        return jnp.stack([sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], nrm])
+
+    sub_jit = jax.jit(step.substeps, static_argnums=(1,))
+    psi = psi_init
+    for t in range(T):
+        rows[:7, t] = np.asarray(obs_row(psi, sea_mask, dims, idx_rare))
+        remaining = n_sub
+        while remaining > 0:
+            k = int(min(sub_budget, remaining))
+            psi = sub_jit(psi, k)
+            jax.block_until_ready(psi.re)
+            remaining -= k
     return rows
 
 
