@@ -533,13 +533,6 @@ _EXT_DBL_CHUNK = 16  # doubling passes per dispatch (static widths: one program)
 _EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
 
 
-@jax.jit
-def _ext_split2(a, b):
-    from ..ops.extprec import ext_split
-
-    return ext_split(a), ext_split(b)
-
-
 def _spectral_norm_host(Hd: np.ndarray, iters: int = 40, seed: int = 0) -> float:
     """||H||_2 estimate by power iteration in native host f64 (numpy).
 
