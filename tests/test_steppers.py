@@ -192,3 +192,19 @@ def test_dopri_nan_divergence_exits_gracefully():
     assert time.time() - t0 < 120  # no multi-hour spin
     total = out["n_accepted"] + out["n_rejected"]
     assert total < 20_000_000  # exited via the h floor, not the cap
+
+
+def test_krylov_assembled_segmented_dispatch(reference_solution, monkeypatch):
+    """Both dispatch modes of the assembled Krylov trace produce identical
+    rows: whole-output-steps-per-dispatch and (when one step exceeds the
+    substep budget, as at production ||H||) substeps segmented INSIDE an
+    output step with the observable row computed between dispatches."""
+    from quantumsimulations_tpu.dynamics.krylov import krylov_traces_assembled
+
+    params, model, t, _ = reference_solution
+    args = (model.hamiltonian, model.psi0, t, model.dims,
+            model.n_sea_effective, model.idx_rare)
+    whole = krylov_traces_assembled(*args)
+    monkeypatch.setenv("QST_KRYLOV_DISPATCH_SUBSTEPS", "1")  # force segmented
+    segmented = krylov_traces_assembled(*args)
+    np.testing.assert_allclose(segmented, whole, rtol=0, atol=1e-13)
