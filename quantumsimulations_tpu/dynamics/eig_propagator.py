@@ -252,7 +252,8 @@ def eig_traces_assembled_batched32(
 ) -> np.ndarray:
     """f32 speed mode of the assembled traces (Pallas fused complex matmul).
 
-    ~1e-5 observable accuracy; roughly half the memory/bandwidth of the f64
+    ~1e-4 observable accuracy (tested at atol=2e-4 vs the f64 path in
+    tests/test_steppers.py); roughly half the memory/bandwidth of the f64
     path and native (non-emulated) MXU matmuls.  ``interpret`` defaults to
     True off-TPU so the same code runs in CI.
     """

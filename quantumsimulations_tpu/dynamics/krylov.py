@@ -119,19 +119,68 @@ def spectral_norm_estimate_dense(
     return float(nrm) * 1.05
 
 
+_SMALL_EXPM_THETA = 0.25  # ||A||/2^s target for the small-matrix Taylor
+_SMALL_EXPM_DEGREE = 12  # truncation (0.25^13/13!) ~ 2e-18
+
+
+def _expm_n_squarings(x: float) -> int:
+    """Static squaring count so ||(-i dt T)/2^s|| <= _SMALL_EXPM_THETA,
+    given the static bound x >= ||T|| * |dt| (Lanczos T inherits ||T|| <=
+    ||H||_2)."""
+    return max(0, int(np.ceil(np.log2(max(x, 1e-30) / _SMALL_EXPM_THETA))))
+
+
+def _tridiag_expm_e1(alphas, betas, dt, n_sq: int, degree: int = _SMALL_EXPM_DEGREE):
+    """(re, im) of y = expm(-i dt T) e1 for the small real tridiagonal T.
+
+    Pure matmuls: scaling-and-squaring around a Horner-evaluated Taylor core
+    in (re, im) f64 pairs.  Replaces the previous on-device
+    ``jnp.linalg.eigh(T)`` — the small f64 eigh inside the substep program
+    reproducibly crashed the TPU worker once the surrounding program carried
+    dim >= 8192 state buffers (see docs/ROUND2.md handoff item 2), while
+    plain matmul programs at those sizes are solid.  18-ish (m x m) matmuls
+    of m ~ 48 are negligible next to one H apply, and the routine is
+    shard_map-safe (computed redundantly per device, no collectives).
+    """
+    m = alphas.shape[0]
+    T = jnp.diag(alphas) + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
+    eye = jnp.eye(m, dtype=T.dtype)
+    Aim = T * (-dt / (2.0**n_sq))  # A = -i dt_s T: A_re = 0
+    # Horner: U = I + A(I + A/2 (I + A/3 (...))) with purely-imaginary A
+    acc_re, acc_im = eye, jnp.zeros_like(T)
+    for k in range(degree, 0, -1):
+        acc_re, acc_im = eye - (Aim @ acc_im) / k, (Aim @ acc_re) / k
+    for _ in range(n_sq):
+        acc_re, acc_im = (
+            acc_re @ acc_re - acc_im @ acc_im,
+            acc_re @ acc_im + acc_im @ acc_re,
+        )
+    return acc_re[:, 0], acc_im[:, 0]
+
+
 def _lanczos_expm_substep(
     apply_h: Callable[[Cplx], Cplx],
     psi: Cplx,
     dt: float,
     m: int,
     axis_name: str | None = None,
+    n_sq: int = 6,  # covers ||H||*dt <= 16 (> KRYLOV_THETA)
+    breakdown_tol: float = 0.0,
 ):
     """One exp(-i H dt) application via an m-dim Lanczos subspace.
 
     With ``axis_name`` set this runs on a SHARDED statevector inside
     shard_map: every inner product is psum-reduced over the state axis while
-    the small (m x m) tridiagonal eigenproblem is computed redundantly on
+    the small (m x m) tridiagonal exponential is computed redundantly on
     every device.
+
+    ``breakdown_tol`` (callers pass ~1e-13 * ||H||) handles happy breakdown
+    (the Krylov space closes before m vectors, e.g. m > dim or an invariant
+    subspace): a beta at/below the tolerance is stored as EXACTLY 0 and the
+    recurrence freezes (v_{j+1} = 0), so T decouples cleanly.  Without the
+    clamp, dividing by a ~1e-26 beta fills V with garbage whose betas grow
+    geometrically (observed up to 1e38) — harmless to the old eigh-based
+    exponential but fatal (overflow) to the Taylor/squaring one.
     """
 
     def _allsum(x):
@@ -169,6 +218,7 @@ def _lanczos_expm_substep(
             w.im - proj_re @ Vi - proj_im @ Vr,
         )
         beta = jnp.sqrt(_allsum(jnp.sum(w.abs2())))
+        beta = jnp.where(beta > breakdown_tol, beta, 0.0)
         alphas = alphas.at[j].set(alpha)
         betas = betas.at[j].set(beta)
         inv = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
@@ -179,14 +229,8 @@ def _lanczos_expm_substep(
 
     Vr, Vi, alphas, betas = jax.lax.fori_loop(0, m, body, (Vr, Vi, alphas, betas))
 
-    # expm(-i dt T) e1 via eigh of the small real tridiagonal
-    T = jnp.diag(alphas) + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
-    evals, evecs = jnp.linalg.eigh(T)
-    theta = evals * dt
-    # y = evecs @ diag(exp(-i theta)) @ evecs^T e1
-    first = evecs[0, :]
-    yr = evecs @ (jnp.cos(theta) * first)
-    yi = evecs @ (-jnp.sin(theta) * first)
+    # y = expm(-i dt T) e1 of the small real tridiagonal (matmuls only)
+    yr, yi = _tridiag_expm_e1(alphas, betas, dt, n_sq)
     out_re = yr @ Vr - yi @ Vi
     out_im = yr @ Vi + yi @ Vr
     return Cplx(out_re * nrm0, out_im * nrm0)
@@ -211,13 +255,20 @@ def make_krylov_step(
         norm_bound = spectral_norm_bound(H)
     n_sub = max(1, int(np.ceil(norm_bound * abs(dt) / theta)))
     dt_sub = dt / n_sub
+    # one extra squaring of margin: ||T|| can slightly exceed the (possibly
+    # power-iteration-estimated) norm_bound
+    n_sq = _expm_n_squarings(2.0 * norm_bound * abs(dt_sub))
+    bd_tol = 1e-13 * norm_bound
     if apply_h is None:
         diag = jnp.asarray(H.diagonal_part())
         apply_h = lambda psi: H.apply(psi, diag=diag)
 
     def substeps(psi: Cplx, k: int) -> Cplx:
         def body(_, p):
-            return _lanczos_expm_substep(apply_h, p, dt_sub, m, axis_name=axis_name)
+            return _lanczos_expm_substep(
+                apply_h, p, dt_sub, m, axis_name=axis_name, n_sq=n_sq,
+                breakdown_tol=bd_tol,
+            )
 
         return jax.lax.fori_loop(0, k, body, psi)
 

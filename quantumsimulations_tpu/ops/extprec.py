@@ -237,6 +237,11 @@ def ext_split_host(x: np.ndarray, L: int = EXT_LIMBS) -> np.ndarray:
     over the full matrix (~30 s at dim 8192 through the tunnel); native host
     f64 does it in seconds, and the int8 limbs transfer at half the bytes of
     the f64 source."""
+    maxabs = float(np.abs(x).max()) if x.size else 0.0
+    assert maxabs < 2.0**EXT_E, (
+        f"ext_split_host domain violated: max|x| = {maxabs} >= 2^{EXT_E} "
+        "(out-of-grid input would silently corrupt the int8 limbs)"
+    )
     limbs = np.empty((L,) + x.shape, np.int8)
     r = np.array(x * (2.0 ** (5 - EXT_E)))  # fresh buffer, mutated in place
     l = np.empty_like(r)
@@ -356,10 +361,12 @@ def ext_cmatmul(
     """Exact-to-truncation complex matmul of canonical ext stacks.
 
     Inputs/outputs: (L, M, K) / (L, K, N) int8 canonical limbs on the fixed
-    grid.  Each limb-pair product is an exact integer s8xs8->s32 MXU pass
-    (|products| <= 2^8, K-sums <= K * 2^8 << 2^31); significance diagonals
-    are exact native-i32 sums; the carry cascade renormalizes.  The ONLY
-    error is the truncation of diagonals >= L (~2^(EXT_E-5L) absolute).
+    grid.  Each limb-pair product is an exact integer s8xs8->s32 MXU pass:
+    canonical limbs are |l| <= 16 except limb 0, whose carry fold reaches
+    |l| <= 32 (33 after ext_add_identity), so |products| <= ~2^11 and K-sums
+    <= K * 2^11; diagonal sums of <= L of those stay exact in i32 (asserted
+    below).  The carry cascade renormalizes.  The ONLY error is the
+    truncation of diagonals >= L (~2^(EXT_E-5L) absolute).
 
     Grid bookkeeping: limb j carries weight 2^(E-5(j+1)); with E = 5 the
     product of limbs (j, i) has weight 2^(10-5(j+i+2)) = 2^(5-5(j+i+1)) =
@@ -370,6 +377,10 @@ def ext_cmatmul(
     """
     assert EXT_E == 5, "product grid alignment requires EXT_E == 5"
     L, M, K = are.shape
+    # i32 headroom: worst-case limb magnitude is 33 (limb 0 after carry fold
+    # + identity), the complex combine doubles the K-sum, and a diagonal
+    # accumulates up to L pair products before the carry cascade.
+    assert K * 33 * 33 * 2 * L < 2**31, "i32 would overflow in ext_cmatmul"
     N = bre.shape[2]
     assert N % panel == 0 or N <= panel, (N, panel)
     panel = min(panel, N)

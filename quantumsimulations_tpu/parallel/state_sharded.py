@@ -159,6 +159,7 @@ def krylov_traces_assembled_sharded(
     from ..dynamics.krylov import (
         KRYLOV_M,
         KRYLOV_THETA,
+        _expm_n_squarings,
         _lanczos_expm_substep,
         spectral_norm_bound,
         spectral_norm_estimate,
@@ -181,6 +182,8 @@ def krylov_traces_assembled_sharded(
     norm_bound = min(spectral_norm_bound(H), spectral_norm_estimate(H))
     n_sub = max(1, int(np.ceil(norm_bound * abs(dt) / theta)))
     dt_sub = dt / n_sub
+    n_sq_small = _expm_n_squarings(2.0 * norm_bound * abs(dt_sub))
+    bd_tol = 1e-13 * norm_bound
 
     # observable term IRs: Ix/Iy/Iz_sea (collective sums), rare x/y/z
     sea_sites = list(range(n_sea_effective))
@@ -214,7 +217,10 @@ def krylov_traces_assembled_sharded(
             )
 
         def substep(_, p):
-            return _lanczos_expm_substep(local_apply, p, dt_sub, m, axis_name=axis)
+            return _lanczos_expm_substep(
+                local_apply, p, dt_sub, m, axis_name=axis, n_sq=n_sq_small,
+                breakdown_tol=bd_tol,
+            )
 
         def body(psi, _):
             vals = [expect(psi, i) for i in range(6)]  # sea x,y,z, rare x,y,z
