@@ -208,9 +208,13 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
     dim = int(np.prod(model.dims))
     log(f"n12 workload: 1 evolution, dim {dim}, T={steps}, horizon {t_final}s")
     t0 = time.perf_counter()
+    # checkpoint under the repo (gitignored): a killed first attempt lets
+    # the parent's retry resume mid-advance instead of restarting
+    ckpt_dir = os.path.join(HERE, ".bench_ckpt_n12")
     rows = expm_traces_assembled_ext(
         model.hamiltonian, model.psi0, t, model.dims,
         model.n_sea_effective, model.idx_rare,
+        ckpt_dir=ckpt_dir,
     )
     wall = time.perf_counter() - t0
     norm_drift = float(np.abs(rows[6] - 1.0).max())

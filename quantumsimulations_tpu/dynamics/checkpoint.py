@@ -145,3 +145,79 @@ def krylov_propagate_traces_checkpointed(
             os.replace(tmp, trace_stash)
             save_snapshot(ckpt_dir, k + 1, cur.to_numpy(), params=params)
     return {"site_xyz": xyz, "norm": norms}
+
+
+# ---------------------------------------------------------------------------
+# Ext-chain advance checkpointing (the N=12+ limb propagator).
+#
+# The step-operator build is deterministic (same inputs -> bit-identical limb
+# stacks), so snapshots persist only the ADVANCE state: the int8 limb state
+# stacks, the block cursor, and the observable rows computed so far.  On
+# resume the operator is rebuilt and stepping continues bit-identically
+# (int8 limbs round-trip losslessly; rows are exact f64 in the NPZ).
+# Reference analogue: the save-as-you-go invariant of
+# sweep_sea_detuning.py:677-691, extended INSIDE a single solve.
+# ---------------------------------------------------------------------------
+
+
+def _ext_advance_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "ext_advance.npz")
+
+
+def save_ext_advance(
+    ckpt_dir: str,
+    fingerprint: dict,
+    done_blocks: int,
+    rows_flats: list[np.ndarray],
+    s_re_flat: np.ndarray,
+    s_im_flat: np.ndarray,
+) -> str:
+    """Atomically persist the ext advance state after ``done_blocks``."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = _ext_advance_path(ckpt_dir)
+    tmp = path + ".tmp.npz"
+    np.savez(
+        tmp,
+        fingerprint=json.dumps(fingerprint, sort_keys=True),
+        done_blocks=done_blocks,
+        rows_flat=np.concatenate(rows_flats) if rows_flats else np.empty(0),
+        n_flats=len(rows_flats),
+        s_re=s_re_flat,
+        s_im=s_im_flat,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def load_ext_advance(ckpt_dir: str, fingerprint: dict):
+    """(done_blocks, rows_flats, s_re_flat, s_im_flat) or None.
+
+    A snapshot with a mismatched fingerprint (different workload) is ignored;
+    a corrupt file restarts from scratch rather than resuming wrong.
+    """
+    path = _ext_advance_path(ckpt_dir)
+    if not os.path.isfile(path):
+        return None
+    try:
+        data = np.load(path)
+        if json.loads(str(data["fingerprint"])) != json.loads(
+            json.dumps(fingerprint, sort_keys=True)
+        ):
+            return None
+        done = int(data["done_blocks"])
+        n_flats = int(data["n_flats"])
+        rows_flat = data["rows_flat"]
+        if n_flats:
+            flats = [np.asarray(a) for a in np.split(rows_flat, n_flats)]
+        else:
+            flats = []
+        return done, flats, data["s_re"], data["s_im"]
+    except Exception:
+        return None
+
+
+def clear_ext_advance(ckpt_dir: str) -> None:
+    try:
+        os.remove(_ext_advance_path(ckpt_dir))
+    except OSError:
+        pass

@@ -633,9 +633,35 @@ def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0: int, n: int, panel: int):
     return S_re, S_im, B_re, B_im
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "dims", "idx_rare"))
+def _ext_site_obs_fused(S_re, S_im, dims):
+    """All-spin-1/2 fast path of `_ext_site_obs`: the Pallas fused limb-pair
+    kernel (ops/pallas_kernels.py::ext_obs_diagonals_int8) streams each limb
+    plane through VMEM once per pair, then the f64 weighted combine across
+    the significance diagonals runs here in XLA.  Same contract and values
+    as `_ext_site_obs` (all local dims must be 2)."""
+    from ..ops.pallas_kernels import ext_obs_diagonals_int8
+
+    jj, ii, _ = _EXT_PAIRS
+    n = len(dims)
+    T = S_re.shape[-1]
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    diag = ext_obs_diagonals_int8(
+        S_re, S_im, jnp.asarray(jj), jnp.asarray(ii),
+        n_diag=_EXT_OBS_Q, interpret=interpret,
+    )
+    w = jnp.exp2(-5.0 * jnp.arange(_EXT_OBS_Q, dtype=jnp.float64))
+    rows = jnp.einsum("s,srt->rt", w, diag.astype(jnp.float64))
+    xyz = rows[: 3 * n].reshape(n, 3, T)
+    # spin-1/2 scale factors: x/y carry 2*J_{x,y}[0,1] = 1, z carries the
+    # +-1/2 eigenvalue (the kernel sums +-1 signs)
+    xyz = xyz * jnp.asarray([1.0, 1.0, 0.5])[None, :, None]
+    return xyz, rows[3 * n]
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "dims", "idx_rare", "fused_obs"))
 def _ext_advance_scan(
-    B_re, B_im, S_re, S_im, sea_mask, e0, n_blocks: int, dims, idx_rare: int
+    B_re, B_im, S_re, S_im, sea_mask, e0, n_blocks: int, dims, idx_rare: int,
+    fused_obs: bool = False,
 ):
     """The whole block-advance trace loop as ONE device program.
 
@@ -656,7 +682,10 @@ def _ext_advance_scan(
 
     def body(S, _):
         S_re, S_im = S
-        xyz, norm2 = _ext_site_obs(S_re, S_im, dims)
+        if fused_obs:
+            xyz, norm2 = _ext_site_obs_fused(S_re, S_im, dims)
+        else:
+            xyz, norm2 = _ext_site_obs(S_re, S_im, dims)
         norms = jnp.sqrt(norm2)
         sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
         rare = xyz[idx_rare]
@@ -680,11 +709,20 @@ def expm_traces_assembled_ext(
     idx_rare: int,
     block: int = 512,
     panel: int = 512,
+    ckpt_dir: str | None = None,
+    ckpt_every_blocks: int = 4,
 ) -> np.ndarray:
     """Assembled rows (8, T) via the ext (parity-grade) step operator.
 
     Three device dispatches total: the norm power iteration, the fused
     seed/step-operator program, and the advance scan.
+
+    With ``ckpt_dir`` set, the advance phase snapshots its exact int8 limb
+    state + computed rows every ``ckpt_every_blocks`` blocks
+    (dynamics/checkpoint.py) and a rerun with the same arguments resumes
+    bit-identically mid-advance — the step-operator build is deterministic
+    and is simply redone.  This covers the multi-minute N=12+ runs on a
+    backend that can kill long sessions (docs/ROUND2.md).
     """
     from ..ops.extprec import taylor_coeff_limbs
     from .krylov import spectral_norm_estimate_dense
@@ -828,17 +866,59 @@ def expm_traces_assembled_ext(
         _mark(f"doubling({log2_block} passes)")
 
     # advance in bounded chunks of blocks; the padded tail blocks (if any)
-    # are computed and dropped — one compiled shape, negligible extra work
+    # are computed and dropped — one compiled shape, negligible extra work.
+    # The fused Pallas observable kernel needs all-spin-1/2 dims and
+    # 128-lane-aligned blocks; otherwise fall back to the jnp reduction.
+    fused_obs = all(d == 2 for d in dims) and block % 128 == 0
     adv_chunk = min(_EXT_ADV_CHUNK, n_blocks)
     flats = []
     done = 0
+
+    ckpt_fp = None
+    if ckpt_dir:
+        from .checkpoint import clear_ext_advance, load_ext_advance, save_ext_advance
+
+        # bound each dispatch by the snapshot cadence so a kill loses at
+        # most ckpt_every_blocks blocks of work
+        adv_chunk = min(adv_chunk, max(1, ckpt_every_blocks))
+        ckpt_fp = {
+            "engine": "ext", "dim": dim, "T": T, "block": block,
+            "n_blocks": n_blocks, "dt": dt, "e0": float(np.asarray(e0)),
+            "adv_chunk": adv_chunk, "fused_obs": bool(fused_obs),
+        }
+        res = load_ext_advance(ckpt_dir, ckpt_fp)
+        if res is not None:
+            done, flats, s_re_h, s_im_h = res
+            L = S_re.shape[0]
+            to_dev = jax.jit(lambda f: f.reshape((L, dim, block)))
+            S_re = to_dev(jax.device_put(jnp.asarray(s_re_h)))
+            S_im = to_dev(jax.device_put(jnp.asarray(s_im_h)))
+            jax.block_until_ready(S_im)
+            _mark(f"ckpt resume at block {done}/{n_blocks}")
+
+    flatten = jax.jit(lambda x: x.reshape(-1))
+    abort_after = int(_os.environ.get("QST_EXT_ABORT_AFTER_CHUNKS", "0"))
+    chunks_run = 0
     while done < n_blocks:
         flat, S_re, S_im = _ext_advance_scan(
             B_re, B_im, S_re, S_im, sea_mask, e0,
-            adv_chunk, dims, idx_rare,
+            adv_chunk, dims, idx_rare, fused_obs=fused_obs,
         )
         flats.append(np.asarray(flat))
         done += adv_chunk
+        chunks_run += 1
+        if ckpt_dir and done < n_blocks:
+            save_ext_advance(
+                ckpt_dir, ckpt_fp, done, flats,
+                np.asarray(flatten(S_re)), np.asarray(flatten(S_im)),
+            )
+            if abort_after and chunks_run >= abort_after:
+                raise RuntimeError(
+                    f"aborted after {chunks_run} advance chunks "
+                    "(QST_EXT_ABORT_AFTER_CHUNKS)"
+                )
+    if ckpt_dir:
+        clear_ext_advance(ckpt_dir)
     _mark(f"advance({n_blocks} blocks)")
     arr = np.concatenate(flats).reshape(done, 8, block)[:n_blocks]
     return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]

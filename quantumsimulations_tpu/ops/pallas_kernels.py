@@ -175,3 +175,127 @@ def z_sign_table(dims: tuple[int, ...]) -> np.ndarray:
         right = int(np.prod(dims[j + 1 :], dtype=np.int64)) if j + 1 < n else 1
         out[j] = np.tile(np.repeat(z, right), left)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused int8 limb-pair observable kernel: per-site <Sx,Sy,Sz> + norm^2
+# diagonal sums DIRECTLY from ext limb state stacks (ops/extprec.py), for
+# all-spin-1/2 Hilbert spaces.
+#
+# The jnp form (dynamics/expm_propagator.py::_ext_site_obs) re-reads the
+# (dim, T) limb planes from HBM for every (pair, site, level) reduction —
+# ~30 GB of VPU traffic per 512-column block at dim 8192, measured ~5 s per
+# block (2/3 of the whole N=12 trace wall).  This kernel streams each limb
+# plane through VMEM ONCE per pair and computes every site reduction from
+# the resident plane: traffic drops to P * 4 planes ~ 1 GB per block and the
+# work becomes VPU-compute-bound (~0.1 s/block).
+#
+# Mosaic has no f64, so the kernel accumulates raw i32 sums per significance
+# diagonal s = j + i (exact: |limbs| <= 33 canonical, so a diagonal's sum
+# over dim rows and <= q pairs stays < 2^31 for dim <= 64k) and the f64
+# weighted combine across the <= 11 diagonals runs outside in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _ext_obs_kernel(n_sites: int, dim: int):
+    """Kernel factory (n_sites, dim static).  Row layout of the out block:
+    rows 3k/3k+1/3k+2 = site-k x/y/z raw sums, row 3*n_sites = norm^2."""
+
+    def kernel(jj_ref, ii_ref, ar_ref, br_ref, ai_ref, bi_ref, out_ref):
+        p = pl.program_id(1)
+
+        # first pair of an s-diagonal group (pairs are ordered by s, j
+        # ascending, so j == 0 opens the group) initializes the block
+        @pl.when(jj_ref[p] == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        Rj = ar_ref[0].astype(jnp.int32)  # (dim, tt) limb planes
+        Ri = br_ref[0].astype(jnp.int32)
+        Ij = ai_ref[0].astype(jnp.int32)
+        Ii = bi_ref[0].astype(jnp.int32)
+        prod = Rj * Ri + Ij * Ii  # Re[conj(psi_j-limb) psi_i-limb] per row
+        row = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0)
+
+        nrow = 3 * n_sites
+        out_ref[0, nrow : nrow + 1, :] += jnp.sum(prod, axis=0, keepdims=True)
+        for k in range(n_sites):
+            shift = n_sites - 1 - k  # site-k stride: dr = 2^shift
+            bit = (row >> shift) & 1
+            # z: +1 for level 0, -1 for level 1 (the 0.5 spin factor is
+            # applied in the f64 combine outside)
+            sign = 1 - 2 * bit
+            out_ref[0, 3 * k + 2 : 3 * k + 3, :] += jnp.sum(
+                prod * sign, axis=0, keepdims=True
+            )
+            # x/y: conj(psi_a) psi_b with b = a + dr — partner rows come in
+            # by a static sublane roll (shift must be non-negative: dim - dr
+            # is the upward circular shift); wrap-around rows land on
+            # bit = 1 and are masked out
+            dr = 1 << shift
+            Rir = pltpu.roll(Ri, dim - dr, axis=0)
+            Iir = pltpu.roll(Ii, dim - dr, axis=0)
+            m0 = 1 - bit
+            out_ref[0, 3 * k : 3 * k + 1, :] += jnp.sum(
+                m0 * (Rj * Rir + Ij * Iir), axis=0, keepdims=True
+            )
+            out_ref[0, 3 * k + 1 : 3 * k + 2, :] += jnp.sum(
+                m0 * (Rj * Iir - Ij * Rir), axis=0, keepdims=True
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_diag", "t_tile", "interpret"))
+def ext_obs_diagonals_int8(
+    S_re: jnp.ndarray,  # (L, dim, T) int8 canonical ext limbs
+    S_im: jnp.ndarray,
+    jj: jnp.ndarray,  # (P,) int32 left-limb index per pair, grouped by s=j+i
+    ii: jnp.ndarray,  # (P,) int32 right-limb index per pair
+    n_diag: int,
+    t_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(n_diag, R, T) i32 raw observable sums per significance diagonal.
+
+    R = 3 * n_sites + 1 rows padded to a multiple of 8; all local dims must
+    be 2 (n_sites = log2(dim)).  Combine outside with weights 2^(-5 s).
+    """
+    L, dim, T = S_re.shape
+    n_sites = dim.bit_length() - 1
+    assert 1 << n_sites == dim, "fused obs kernel requires a power-of-two dim"
+    assert T % t_tile == 0, (T, t_tile)
+    # i32 headroom: <= q pairs per diagonal, |limb| <= 33, dim rows
+    assert dim * 33 * 33 * int(n_diag) < 2**31, "i32 would overflow"
+    P = jj.shape[0]
+    R = _round_up(3 * n_sites + 1, 8)
+
+    grid = (T // t_tile, P)
+    plane = lambda which: pl.BlockSpec(
+        (1, dim, t_tile),
+        (lambda t, p, jj_ref, ii_ref: (which(jj_ref, ii_ref, p), 0, t)),
+        memory_space=pltpu.VMEM,
+    )
+    a_spec = plane(lambda jj_ref, ii_ref, p: jj_ref[p])
+    b_spec = plane(lambda jj_ref, ii_ref, p: ii_ref[p])
+    out_spec = pl.BlockSpec(
+        (1, R, t_tile),
+        lambda t, p, jj_ref, ii_ref: (jj_ref[p] + ii_ref[p], 0, t),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _ext_obs_kernel(n_sites, dim),
+        out_shape=jax.ShapeDtypeStruct((n_diag, R, T), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[a_spec, b_spec, a_spec, b_spec],
+            out_specs=out_spec,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(P) * dim * T * (6 + 10 * n_sites),
+            bytes_accessed=int(P) * dim * T * 4 + int(n_diag) * R * T * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jj.astype(jnp.int32), ii.astype(jnp.int32), S_re, S_re, S_im, S_im)

@@ -282,3 +282,85 @@ def test_ext_carry_i32_value_exact():
     assert all(fi[r][c] == ff[r][c] for r in range(8) for c in range(8))
     # canonical residual bound: every non-top limb fits the int8 range
     assert np.abs(np.asarray(via_i32, np.float64)[1:]).max() <= 16
+
+
+def test_ext_site_obs_fused_matches_jnp():
+    """The Pallas fused limb-pair observable kernel (interpret mode off-TPU)
+    must reproduce the jnp reduction `_ext_site_obs` on canonical limb
+    stacks of a random normalized state (all-spin-1/2 dims)."""
+    import jax.numpy as jnp
+
+    from quantumsimulations_tpu.dynamics.expm_propagator import (
+        _ext_site_obs,
+        _ext_site_obs_fused,
+    )
+    from quantumsimulations_tpu.ops.extprec import ext_split
+
+    rng = np.random.default_rng(7)
+    dims = (2, 2, 2, 2)
+    dim, T = 16, 128  # T must be 128-lane aligned for the kernel
+    psis = rng.standard_normal((dim, T)) + 1j * rng.standard_normal((dim, T))
+    psis /= np.linalg.norm(psis, axis=0, keepdims=True)
+    S_re = ext_split(jnp.asarray(psis.real))
+    S_im = ext_split(jnp.asarray(psis.imag))
+
+    xyz_ref, nr_ref = _ext_site_obs(S_re, S_im, dims)
+    xyz_fus, nr_fus = _ext_site_obs_fused(S_re, S_im, dims)
+    np.testing.assert_allclose(np.asarray(xyz_fus), np.asarray(xyz_ref),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(nr_fus), np.asarray(nr_ref),
+                               rtol=0, atol=1e-13)
+    # and against the dense-state oracle
+    np.testing.assert_allclose(np.asarray(nr_fus), 1.0, rtol=0, atol=1e-12)
+
+
+def test_ext_advance_checkpoint_resume_bit_identical(tmp_path, monkeypatch):
+    """Kill the ext advance mid-run (abort hook) and resume: rows must be
+    BIT-identical to an uninterrupted run (VERDICT r2 item 4)."""
+    import quantumsimulations_tpu.dynamics.expm_propagator as ep
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    p = DipolarRareParams(
+        n_sea=4, gamma_sea=gamma, gamma_rare=6.976e7, B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma, B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=2.0e-4, steps=64, drive_sea=True, drive_rare=True,
+        is_spin_three_half=False, is_center_rare=True,
+    )
+    model = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    # force the chunked large-dim code path (dim 32 < _EXT_CHUNK_DIM
+    # otherwise) so the ckpt-relevant branch is the one exercised
+    monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 16)
+
+    ref = ep.expm_traces_assembled_ext(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, block=16,
+    )
+
+    ck = str(tmp_path / "ck")
+    monkeypatch.setenv("QST_EXT_ABORT_AFTER_CHUNKS", "1")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="aborted after 1 advance chunks"):
+        ep.expm_traces_assembled_ext(
+            model.hamiltonian, model.psi0, t, model.dims,
+            model.n_sea_effective, model.idx_rare, block=16,
+            ckpt_dir=ck, ckpt_every_blocks=1,
+        )
+    import os as _o
+    assert _o.path.isfile(_o.path.join(ck, "ext_advance.npz"))
+
+    monkeypatch.delenv("QST_EXT_ABORT_AFTER_CHUNKS")
+    resumed = ep.expm_traces_assembled_ext(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, block=16,
+        ckpt_dir=ck, ckpt_every_blocks=1,
+    )
+    assert np.array_equal(resumed, ref), "resume must be bit-identical"
+    # snapshot cleared after a successful run
+    assert not _o.path.isfile(_o.path.join(ck, "ext_advance.npz"))
