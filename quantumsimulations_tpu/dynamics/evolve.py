@@ -11,7 +11,10 @@ Solver dispatch (params.solver_method):
                propagation (exact to ~1e-13; large dense dims).
   * "ext"    — exact-limb (75-bit) step-operator chain: parity-grade (~1e-9)
                at large dense dims where the f64 squaring chain floors out.
-  * "krylov" — matrix-free Lanczos expm-multiply (large / sharded dims).
+  * "krylov" — matrix-free Lanczos expm-multiply (sharded-state dims).
+  * "chebyshev" — matrix-free Chebyshev basis sweep (single-chip huge dims:
+               no inner products, so it dodges the TPU backend's ~20 ms
+               dependent-f64-dot latency and emulated-dot rounding).
   * "dopri"  — adaptive Dormand–Prince (time-dependent Hamiltonians).
   * "auto"   — pick by Hilbert dimension.
 
@@ -36,10 +39,12 @@ def _auto_method(dim: int) -> str:
     # eig: host eigendecomposition is exact and amortizes over the whole
     #   trace; on a small host CPU it costs ~minutes at dim 8192 but beats
     #   every stepping scheme for 30 s horizons (||H||*t ~ 1e8 rad).
-    # krylov: matrix-free beyond dense reach (and the sharded-state path).
+    # chebyshev: matrix-free beyond dense reach on one chip (krylov remains
+    #   the sharded-state engine: its psum inner products shard; Chebyshev's
+    #   apply shards too but the single-chip default favors no-dot stepping).
     # expm: opt-in only — square f64 matmuls exceed 16 GB HBM at dim 8192
     #   under the TPU x64 rewriter's limb expansion.
-    return "eig" if dim <= _EIG_MAX_DIM else "krylov"
+    return "eig" if dim <= _EIG_MAX_DIM else "chebyshev"
 
 
 def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -112,6 +117,17 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
         from .krylov import krylov_traces_assembled
 
         rows = krylov_traces_assembled(
+            model.hamiltonian, model.psi0, t, dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        named = traces_dict(rows)
+        named.pop("energy", None)
+        return t, named
+    elif method == "chebyshev":
+        from .chebyshev import chebyshev_traces_assembled
+        from .eig_propagator import traces_dict
+
+        rows = chebyshev_traces_assembled(
             model.hamiltonian, model.psi0, t, dims,
             model.n_sea_effective, model.idx_rare,
         )

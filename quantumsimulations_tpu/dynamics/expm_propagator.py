@@ -437,20 +437,24 @@ def _ext_site_obs(S_re, S_im, dims):
     static_argnames=("n_sq", "degree", "log2_block", "panel"),
 )
 def _ext_expm_program(
-    h_im_dt,
-    h_negre_dt,
-    p_re,
-    p_im,
+    Are,
+    Aim,
+    p_re_limbs,
+    p_im_limbs,
     coeffs,
     n_sq: int,
     degree: int,
     log2_block: int,
     panel: int,
 ):
-    """ONE device program: (seed states, U^block limbs) from H and psi0.
+    """ONE device program: (seed states, U^block limbs) from pre-split limbs.
+
+    Inputs are canonical int8 ext stacks: Are/Aim = limbs of -i H dt / 2^n_sq
+    (imag/real planes), p_*_limbs = limbs of psi0.  The split itself happens
+    in the callers via ``ext_split_upload`` so the fused and chunked paths
+    share bit-identical operands (and the f32 triple-split fast upload).
 
     Pipeline (everything in the exact limb domain — the STATE TOO):
-      A = ext_split(-i H dt / 2^n_sq)            # exact 75-bit limbs
       U = I + Horner(exp(A) - I)                  # panel-wise, exact
       U = U^(2^n_sq)                              # fori of exact squarings
       doubling pass (fori, padded limb-state buffer):
@@ -467,12 +471,9 @@ def _ext_expm_program(
     from ..ops.extprec import (
         ext_add_identity,
         ext_cmatmul,
-        ext_split,
         ext_taylor_horner,
     )
 
-    Are = ext_split(h_im_dt)
-    Aim = ext_split(h_negre_dt)
     D_re, D_im = ext_taylor_horner(Are, Aim, coeffs, degree)
     U_re = ext_add_identity(D_re)
     U_im = D_im
@@ -485,10 +486,10 @@ def _ext_expm_program(
         U_re, U_im = jax.lax.fori_loop(0, n_sq, sq_full, (U_re, U_im))
 
     block = 1 << log2_block
-    dim = h_im_dt.shape[0]
+    dim = Are.shape[1]
     L = Are.shape[0]
-    S_re = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(ext_split(p_re))
-    S_im = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(ext_split(p_im))
+    S_re = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p_re_limbs)
+    S_im = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p_im_limbs)
 
     def dbl(k, carry):
         S_re, S_im, B_re, B_im = carry
@@ -780,12 +781,14 @@ def expm_traces_assembled_ext(
     log2_block = int(np.log2(block))
     pan = min(panel, dim)
 
+    from ..ops.extprec import ext_split_upload
+
     if dim < _EXT_CHUNK_DIM:
         S_re, S_im, B_re, B_im = _ext_expm_program(
-            jnp.asarray(Hd.imag * dt_s),
-            jnp.asarray(-Hd.real * dt_s),
-            jnp.asarray(psi0.real),
-            jnp.asarray(psi0.imag),
+            ext_split_upload(Hd.imag * dt_s),
+            ext_split_upload(-Hd.real * dt_s),
+            ext_split_upload(np.ascontiguousarray(psi0.real)),
+            ext_split_upload(np.ascontiguousarray(psi0.imag)),
             coeffs,
             n_sq=n_sq,
             degree=_EXT_DEGREE,
@@ -800,22 +803,19 @@ def expm_traces_assembled_ext(
         # into bounded-duration device programs (see the note above the
         # chunk constants).  Sync after every dispatch.
         #
-        # The limb split runs on the HOST: on device it is ~30 elementwise
-        # passes of emulated f64 over the full matrix (~30 s at dim 8192),
-        # while native host f64 does it in seconds — and the int8 limb
-        # stacks upload at half the bytes of the f64 planes.  Upload FLAT
-        # and reshape on device: the tunnel moves 1-D buffers at full
-        # bandwidth but crawls on N-D layouts (measured 320 s vs ~2 s for
-        # the same gigabyte at dim 8192).
-        from ..ops.extprec import EXT_LIMBS, ext_split_host
+        # Limb split via the f32 triple-split fast path: 3 cheap host f32
+        # casts per plane, flat uploads at full tunnel bandwidth, and a
+        # device-NATIVE f32 limb extraction (ops/extprec.py::
+        # ext_split_upload).  Replaces the ~2L-pass host f64 split + int8
+        # stack upload that cost 20-30 s per run on the 1-core host
+        # (docs/ROUND2.md handoff item 3).
+        from ..ops.extprec import ext_split_upload
 
-        shape = (EXT_LIMBS, dim, dim)
-        reshape = jax.jit(lambda f: f.reshape(shape))
-        Are = reshape(jax.device_put(ext_split_host(Hd.imag * dt_s).reshape(-1)))
-        Aim = reshape(jax.device_put(ext_split_host(-Hd.real * dt_s).reshape(-1)))
+        Are = ext_split_upload(Hd.imag * dt_s)
+        Aim = ext_split_upload(-Hd.real * dt_s)
         del Hd
         jax.block_until_ready(Aim)
-        _mark("split(host)+upload")
+        _mark("split(f32-triple)+upload")
         from ..ops.extprec import ext_add_identity
 
         # Horner init: D = A.  Fresh copies — the D buffers are donated
@@ -850,10 +850,10 @@ def expm_traces_assembled_ext(
         from ..ops.extprec import EXT_LIMBS as _L
 
         S_re = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
-            jax.device_put(ext_split_host(np.ascontiguousarray(psi0.real)))
+            ext_split_upload(np.ascontiguousarray(psi0.real))
         )
         S_im = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
-            jax.device_put(ext_split_host(np.ascontiguousarray(psi0.imag)))
+            ext_split_upload(np.ascontiguousarray(psi0.imag))
         )
         k0 = 0
         while k0 < log2_block:

@@ -38,6 +38,23 @@ KRYLOV_M = 48
 KRYLOV_THETA = 12.0  # max ||H|| * dt per substep
 
 
+def default_matrix_free_apply(H: OperatorSum):
+    """psi -> H psi closure for single-chip matrix-free stepping.
+
+    Prefers the qubit flip-apply (ops/embed.py::make_qubit_flip_apply):
+    reverse + broadcast-multiply programs that the TPU backend compiles
+    cleanly at any dim — the generic rank-n einsum apply stalls the remote
+    compiler indefinitely at dim >= 8192 (the round-2 'Krylov worker crash').
+    Falls back to the generic apply for non-qubit dims / exotic terms."""
+    from ..ops.embed import make_qubit_flip_apply
+
+    diag = jnp.asarray(H.diagonal_part())
+    fa = make_qubit_flip_apply(H)
+    if fa is not None:
+        return lambda psi: fa(psi, diag)
+    return lambda psi: H.apply(psi, diag=diag)
+
+
 def spectral_norm_bound(H: OperatorSum) -> float:
     """Cheap upper bound: sum_k |coeff_k| * prod ||op||_2 over the factors."""
     total = 0.0
@@ -64,7 +81,7 @@ def spectral_norm_estimate(H: OperatorSum, iters: int = 40, seed: int = 0) -> fl
     dim = H.dim
     v = rng.standard_normal(dim) + 1j * rng.standard_normal(dim)
     v /= np.linalg.norm(v)
-    diag = jnp.asarray(H.diagonal_part())
+    apply_h = default_matrix_free_apply(H)
 
     # ONE device program: a per-iteration dispatch loop costs seconds of
     # relay round-trip latency per step through the TPU tunnel.
@@ -72,7 +89,7 @@ def spectral_norm_estimate(H: OperatorSum, iters: int = 40, seed: int = 0) -> fl
     def power(re, im, n: int):
         def body(_, carry):
             re, im, _ = carry
-            out = H.apply(Cplx(re, im), diag=diag)
+            out = apply_h(Cplx(re, im))
             nrm = jnp.sqrt(jnp.sum(out.abs2()))
             return out.re / nrm, out.im / nrm, nrm
 
@@ -260,8 +277,7 @@ def make_krylov_step(
     n_sq = _expm_n_squarings(2.0 * norm_bound * abs(dt_sub))
     bd_tol = 1e-13 * norm_bound
     if apply_h is None:
-        diag = jnp.asarray(H.diagonal_part())
-        apply_h = lambda psi: H.apply(psi, diag=diag)
+        apply_h = default_matrix_free_apply(H)
 
     def substeps(psi: Cplx, k: int) -> Cplx:
         def body(_, p):
@@ -314,10 +330,10 @@ def krylov_traces_assembled(
 
     n_sites = len(dims)
     sea_mask = jnp.asarray((np.arange(n_sites) < n_sea_effective).astype(np.float64))
-    diag = jnp.asarray(H.diagonal_part())
+    apply_h = default_matrix_free_apply(H)
     psi_init = Cplx.from_numpy(psi0)
     # <H> is conserved under unitary stepping; record the t=0 constant
-    hpsi = H.apply(psi_init, diag=diag)
+    hpsi = apply_h(psi_init)
     e0 = float(np.asarray(jnp.sum(psi_init.re * hpsi.re + psi_init.im * hpsi.im)))
 
     @partial(jax.jit, static_argnames=("dims_", "idx_rare_", "n_steps"))
@@ -397,14 +413,14 @@ def krylov_propagate_traces(
         dt = 0.0
 
     step, _ = make_krylov_step(H, dt, m=m, theta=theta)
-    diag = jnp.asarray(H.diagonal_part())
+    apply_h = default_matrix_free_apply(H)
 
     @partial(jax.jit, static_argnames=("dims_",))
     def scan_all(psi_init: Cplx, dims_):
         def body(psi, _):
             xyz = site_xyz_expectations(psi.reshape(psi.shape + (1,)), dims_)
             nrm = state_norms(psi.reshape(psi.shape + (1,)))
-            hpsi = H.apply(psi, diag=diag)
+            hpsi = apply_h(psi)
             energy = jnp.sum(psi.re * hpsi.re + psi.im * hpsi.im)
             nxt = step(psi)
             return nxt, (xyz[..., 0], nrm[0], energy)

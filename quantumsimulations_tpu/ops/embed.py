@@ -306,3 +306,90 @@ def expect_site(psi: Cplx, dims: Sequence[int], site: int, which: str) -> jnp.nd
     # tr(rho @ op), real part: sum_ab rho[a,b] op[b,a]
     val = jnp.sum(rho.re * op.re.T) - jnp.sum(rho.im * op.im.T)
     return val
+
+
+# ---------------------------------------------------------------------------
+# Compile-friendly matrix-free apply for all-spin-1/2 chains.
+#
+# The generic term apply above contracts each factor as an einsum on a
+# rank-n tensor view; at n = 13 (dim 8192) the resulting program STALLS the
+# TPU backend's compiler indefinitely (observed: a single jitted apply never
+# finishes compiling; the round-2 "Krylov worker crash" at dim >= 8192 was
+# this).  For qubit chains every off-diagonal product term is a bit-flip
+# permutation with a per-level sign, which XLA compiles as cheap reverse +
+# broadcast-multiply ops:
+#
+#   * c_x X_j + c_y Y_j      ->  flip bit j, coefficient (c_x -+ i c_y) by level
+#   * c_xx X_jX_k + c_yy Y_jY_k -> flip bits j,k, REAL coefficient
+#         c_xx + c_yy * (-1 if a_j == a_k else +1) by level pair
+#     (the reference's DQ term -1/4(XX - YY), dipolar_ensemble_with_rare.py
+#     :559-561, is the c_yy = -c_xx case: a pure |00><11| + |11><00| flip)
+#
+# Only tiny (1,2,1)-shaped constants are materialized — no dim-sized masks.
+# ---------------------------------------------------------------------------
+
+
+def make_qubit_flip_apply(H: OperatorSum):
+    """Build a jit-friendly ``apply(psi: Cplx, diag) -> Cplx`` for an
+    all-spin-1/2 OperatorSum whose off-diagonal terms are single-site x/y or
+    two-site xx/yy products (the dipolar model family).  Returns None if the
+    operator has terms outside that family (callers fall back to the generic
+    einsum apply)."""
+    dims = H.dims
+    if any(d != 2 for d in dims):
+        return None
+    n = len(dims)
+    singles: dict[int, list[float]] = {}
+    pairs: dict[tuple[int, int], list[float]] = {}
+    for term in H.offdiagonal_terms():
+        sites = [s for s, _ in term.factors]
+        ops = [w for _, w in term.factors]
+        if len(sites) == 1 and ops[0] in ("x", "y"):
+            acc = singles.setdefault(sites[0], [0.0, 0.0])
+            acc[0 if ops[0] == "x" else 1] += term.coeff
+        elif len(sites) == 2 and ops in (["x", "x"], ["y", "y"]):
+            acc = pairs.setdefault((sites[0], sites[1]), [0.0, 0.0])
+            acc[0 if ops[0] == "x" else 1] += term.coeff
+        else:
+            return None
+
+    # static per-term constants.  Spin operators carry the 1/2: I_{x,y} =
+    # sigma_{x,y}/2, so singles scale by 1/2 and pairs by 1/4.
+    sgn = jnp.asarray([1.0, -1.0]).reshape(1, 2, 1)  # level sign for y
+    pair_tables = {}
+    for (j, k), (cxx, cyy) in pairs.items():
+        # C[a_j, a_k] = (cxx + cyy * (-1 if a_j == a_k else +1)) / 4
+        C = 0.25 * np.asarray(
+            [[cxx - cyy, cxx + cyy], [cxx + cyy, cxx - cyy]], dtype=np.float64
+        ).reshape(1, 2, 1, 2, 1)
+        if np.any(C):
+            pair_tables[(j, k)] = jnp.asarray(C)
+
+    def apply(psi: Cplx, diag: jnp.ndarray) -> Cplx:
+        dim = psi.shape[0]
+        out_re = psi.re * diag
+        out_im = psi.im * diag
+        for site, (cx2, cy2) in singles.items():
+            cx, cy = 0.5 * cx2, 0.5 * cy2  # I_{x,y} = sigma_{x,y}/2
+            dl = 1 << site
+            dr = dim >> (site + 1)
+            vr = psi.re.reshape(dl, 2, dr)
+            vi = psi.im.reshape(dl, 2, dr)
+            fr = jnp.flip(vr, axis=1)
+            fi = jnp.flip(vi, axis=1)
+            # (cx - i cy sgn) * f
+            out_re = out_re + (cx * fr + (cy * sgn) * fi).reshape(dim)
+            out_im = out_im + (cx * fi - (cy * sgn) * fr).reshape(dim)
+        for (j, k), C in pair_tables.items():
+            dl = 1 << j
+            dm = 1 << (k - j - 1)
+            dr = dim >> (k + 1)
+            vr = psi.re.reshape(dl, 2, dm, 2, dr)
+            vi = psi.im.reshape(dl, 2, dm, 2, dr)
+            fr = jnp.flip(jnp.flip(vr, axis=1), axis=3)
+            fi = jnp.flip(jnp.flip(vi, axis=1), axis=3)
+            out_re = out_re + (C * fr).reshape(dim)
+            out_im = out_im + (C * fi).reshape(dim)
+        return Cplx(out_re, out_im)
+
+    return apply

@@ -557,3 +557,62 @@ def ext_add_identity(a: jnp.ndarray) -> jnp.ndarray:
 ext_scalar_mul_jit = jax.jit(ext_scalar_mul, static_argnums=(1,))
 ext_add_jit = jax.jit(ext_add)
 ext_val_jit = jax.jit(ext_val)
+
+
+# -- fast H upload: host f32 triple-split + device-native limb extraction ----
+#
+# ext_split_host runs ~2L numpy passes of f64 over the full matrix on a
+# 1-core host (~20-30 s for the two dim-8192 planes, docs/ROUND2.md).  The
+# same exact limbs can be built from an EXACT f32 decomposition
+# x = a1 + a2 + a3 (Dekker-style: each cast captures 24 bits; 3*24 > 53, and
+# each remainder is exactly representable in f64, so the split is lossless).
+# The f32 planes upload flat at full tunnel bandwidth, and the limb
+# extraction then runs on device in NATIVE f32 (rint/sub/mul are exact on
+# 5-bit limb steps of a 24-bit significand), digits summed in i32 and
+# canonicalized by the exact carry cascade.  The only difference vs
+# ext_split is the final-limb rounding of the dropped tail (<= 2^(E-5L-1)
+# absolute, within the ext truncation spec).
+
+
+def f32_triple_split_host(x: np.ndarray):
+    """Exact x = a1 + a2 + a3 with a_k float32 (lossless for |x| < 2^127)."""
+    a1 = x.astype(np.float32)
+    r = x - a1  # exact: difference of nearby representables
+    a2 = r.astype(np.float32)
+    r -= a2
+    a3 = r.astype(np.float32)
+    return a1, a2, a3
+
+
+@partial(jax.jit, static_argnames=("L", "shape"))
+def _ext_limbs_from_f32_planes(a1, a2, a3, L: int, shape):
+    """(L, *shape) int8 canonical limbs from three flat f32 planes."""
+    digits = [jnp.zeros(shape, jnp.int32) for _ in range(L)]
+    scale = np.float32(2.0 ** (5 - EXT_E))
+    for plane in (a1, a2, a3):
+        r = plane.reshape(shape) * scale
+        for j in range(L):
+            l = jnp.rint(r)
+            digits[j] = digits[j] + l.astype(jnp.int32)
+            r = (r - l) * np.float32(32.0)
+    return _ext_carry_i32(jnp.stack(digits))
+
+
+def ext_split_upload(x: np.ndarray, L: int = EXT_LIMBS) -> jnp.ndarray:
+    """Host f64 array -> device (L, ...) int8 canonical ext limbs.
+
+    The fast path for large matrices: 3 host f32 casts, 3 flat uploads, and
+    a device-native f32 extraction — replaces the 2L-pass host split + int8
+    stack upload."""
+    import jax as _jax
+
+    maxabs = float(np.abs(x).max()) if x.size else 0.0
+    assert maxabs < 2.0**EXT_E, (
+        f"ext_split_upload domain violated: max|x| = {maxabs} >= 2^{EXT_E}"
+    )
+    a1, a2, a3 = f32_triple_split_host(np.ascontiguousarray(x))
+    # flat transfers: the tunnel moves 1-D buffers at full bandwidth
+    d1 = _jax.device_put(a1.reshape(-1))
+    d2 = _jax.device_put(a2.reshape(-1))
+    d3 = _jax.device_put(a3.reshape(-1))
+    return _ext_limbs_from_f32_planes(d1, d2, d3, L, tuple(x.shape))

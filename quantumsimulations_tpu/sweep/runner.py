@@ -62,8 +62,14 @@ TAGS = ("center_off", "center_on", "shell_off")
 _MAX_BATCH_BYTES = 2 << 30
 
 
-def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
-    """One simulation through a stepping backend, as a named trace dict."""
+def _solve_one_stepping(
+    model, times, method: str, ckpt_dir: str | None = None
+) -> dict[str, np.ndarray]:
+    """One simulation through a stepping backend, as a named trace dict.
+
+    ``ckpt_dir`` (ext backend only) enables mid-solve advance snapshots so a
+    killed sweep resumes INSIDE a long solve, not just at point granularity
+    (dynamics/checkpoint.py ext helpers)."""
     from ..dynamics.observables import assemble_traces
 
     if method == "expm":
@@ -76,7 +82,7 @@ def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
 
         rows = expm_traces_assembled_ext(
             model.hamiltonian, model.psi0, times, model.dims,
-            model.n_sea_effective, model.idx_rare,
+            model.n_sea_effective, model.idx_rare, ckpt_dir=ckpt_dir,
         )
         return traces_dict(rows)
     elif method == "krylov":
@@ -84,6 +90,15 @@ def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
         from ..dynamics.krylov import krylov_traces_assembled
 
         rows = krylov_traces_assembled(
+            model.hamiltonian, model.psi0, times, model.dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        return traces_dict(rows)
+    elif method == "chebyshev":
+        from ..dynamics.chebyshev import chebyshev_traces_assembled
+        from ..dynamics.eig_propagator import traces_dict
+
+        rows = chebyshev_traces_assembled(
             model.hamiltonian, model.psi0, times, model.dims,
             model.n_sea_effective, model.idx_rare,
         )
@@ -99,7 +114,9 @@ def _solve_one_stepping(model, times, method: str) -> dict[str, np.ndarray]:
     return tr
 
 
-def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> list[dict[str, np.ndarray]]:
+def _solve_group(
+    models, times, log=print, mesh=None, solver_method="auto", ckpt_dirs=None
+) -> list[dict[str, np.ndarray]]:
     """Batched exact solve for models sharing identical Hilbert dims.
 
     Returns one reference-named trace dict per model (observables assembled
@@ -113,9 +130,14 @@ def _solve_group(models, times, log=print, mesh=None, solver_method="auto") -> l
         traces_dict,
     )
 
-    if solver_method in ("expm", "ext", "krylov", "dopri"):
+    if solver_method in ("expm", "ext", "krylov", "chebyshev", "dopri"):
         # stepping backends: solve per simulation (no batched-eigh structure)
-        return [_solve_one_stepping(m, times, solver_method) for m in models]
+        if ckpt_dirs is None:
+            ckpt_dirs = [None] * len(models)
+        return [
+            _solve_one_stepping(m, times, solver_method, ckpt_dir=ck)
+            for m, ck in zip(models, ckpt_dirs)
+        ]
 
     solve_fn = (
         eig_traces_assembled_batched32
@@ -364,9 +386,15 @@ def run_sweep_sea_detuning(
     t_solve0 = time.perf_counter()
     with timer.stage("solve"):
         for dims_key, sim_ids in by_dims.items():
+            # stepping backends snapshot mid-solve under the sweep dir, so a
+            # killed run resumes inside a long solve (cleared on success)
+            ckpt_dirs = [
+                os.path.join(base_dir, ".solver_ckpt", f"sim{i:04d}")
+                for i in sim_ids
+            ] if solver_method == "ext" else None
             outs = _solve_group(
                 [sims[i][3] for i in sim_ids], times, mesh=mesh,
-                solver_method=solver_method,
+                solver_method=solver_method, ckpt_dirs=ckpt_dirs,
             )
             for i, out in zip(sim_ids, outs):
                 idx, tag, _, _ = sims[i]

@@ -182,3 +182,55 @@ def test_to_dense_index_arithmetic_matches_kron(dims):
     )
     op = OperatorSum(dims, terms)
     assert np.allclose(op.to_dense(), op.to_dense_kron(), atol=1e-14)
+
+
+def test_qubit_flip_apply_matches_dense():
+    """The compile-friendly flip apply (ops/embed.py::make_qubit_flip_apply)
+    must agree with the dense matrix on the dipolar model family, including
+    the DQ pair term and both drives."""
+    import jax.numpy as jnp
+
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+    from quantumsimulations_tpu.ops.embed import make_qubit_flip_apply
+
+    gamma = 8.1812e7
+    for n_sea, center in ((3, True), (4, False), (5, True)):
+        p = DipolarRareParams(
+            n_sea=n_sea, gamma_sea=gamma, gamma_rare=6.976e7,
+            B0_sea=3.0, B0_rare=3.0,
+            B1_sea=2 * np.pi * 5e4 / gamma,
+            B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+            omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0,
+            omega_rf_rare=6.976e7 * 3.0,
+            phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+            dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+            t_final=1e-4, steps=3, drive_sea=True, drive_rare=True,
+            is_spin_three_half=False, is_center_rare=center,
+        )
+        m = build_model(p)
+        H = m.hamiltonian
+        fa = make_qubit_flip_apply(H)
+        assert fa is not None
+        diag = jnp.asarray(H.diagonal_part())
+        rng = np.random.default_rng(1)
+        psi = rng.standard_normal(H.dim) + 1j * rng.standard_normal(H.dim)
+        out = fa(Cplx.from_numpy(psi), diag)
+        got = np.asarray(out.re) + 1j * np.asarray(out.im)
+        want = H.to_dense() @ psi
+        assert np.abs(got - want).max() <= 1e-12 * np.abs(want).max()
+
+    # spin-3/2 rare site: flip apply must refuse (generic fallback)
+    p32 = DipolarRareParams(
+        n_sea=3, gamma_sea=gamma, gamma_rare=6.976e7,
+        B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma,
+        B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=0.0, phi_rare=0.0,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=1e-4, steps=3, drive_sea=True, drive_rare=True,
+        is_spin_three_half=True, is_center_rare=True,
+    )
+    m32 = build_model(p32)
+    assert make_qubit_flip_apply(m32.hamiltonian) is None

@@ -364,3 +364,37 @@ def test_ext_advance_checkpoint_resume_bit_identical(tmp_path, monkeypatch):
     assert np.array_equal(resumed, ref), "resume must be bit-identical"
     # snapshot cleared after a successful run
     assert not _o.path.isfile(_o.path.join(ck, "ext_advance.npz"))
+
+
+def test_ext_split_upload_matches_ext_split():
+    """The f32 triple-split upload path must agree with the direct f64 split
+    to the ext truncation floor (<= 2^(E-5L-1) absolute on the dropped
+    tail), and produce canonical limbs."""
+    import jax.numpy as jnp
+
+    from quantumsimulations_tpu.ops.extprec import (
+        EXT_E,
+        EXT_LIMBS,
+        ext_split,
+        ext_split_upload,
+        ext_val,
+    )
+
+    rng_l = np.random.default_rng(11)
+    x = rng_l.standard_normal((64, 64)) * 1.9  # spans the |x| < 2^E grid
+    sa = np.asarray(ext_split(jnp.asarray(x)), dtype=np.int64)
+    sb = np.asarray(ext_split_upload(x), dtype=np.int64)
+
+    def int_val(s):  # exact integer value in units of the last limb
+        L = s.shape[0]
+        so = s.astype(object)  # python big ints: 2^70 exceeds int64
+        return sum(so[j] * (1 << (5 * (L - 1 - j))) for j in range(L))
+
+    # the two paths may round the dropped sub-grid tail differently: at most
+    # one unit of the last limb each
+    assert np.abs(int_val(sa) - int_val(sb)).max() <= 2
+    # f64 roundtrip: exact up to the f64 re-rounding of the stored value
+    b = np.asarray(ext_val(ext_split_upload(x)))
+    assert np.abs(b - x).max() <= 2.0**-50
+    # canonical: |limbs| <= 16 beyond the fold limb
+    assert np.abs(sb[1:]).max() <= 16

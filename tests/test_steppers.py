@@ -208,3 +208,25 @@ def test_krylov_assembled_segmented_dispatch(reference_solution, monkeypatch):
     monkeypatch.setenv("QST_KRYLOV_DISPATCH_SUBSTEPS", "1")  # force segmented
     segmented = krylov_traces_assembled(*args)
     np.testing.assert_allclose(segmented, whole, rtol=0, atol=1e-13)
+
+
+def test_chebyshev_matches_eig(reference_solution):
+    """The Chebyshev basis-sweep propagator (one sweep, all output times)
+    must match the exact eig path at parity grade."""
+    from quantumsimulations_tpu.dynamics.chebyshev import (
+        chebyshev_traces_assembled,
+    )
+
+    params, model, t, exact = reference_solution
+    rows = chebyshev_traces_assembled(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare,
+        phi_block=16, terms_per_dispatch=64,
+    )
+    xyz = exact["site_xyz"]
+    n = xyz.shape[0]
+    import numpy as _np
+    sea = xyz[: model.n_sea_effective].sum(axis=0)
+    assert _np.allclose(rows[0], sea[0], atol=1e-10)
+    assert _np.allclose(rows[2], sea[2], atol=1e-10)
+    assert _np.allclose(rows[6], 1.0, atol=1e-11)
