@@ -69,43 +69,95 @@ def production_params(n_sea: int, t_final: float, steps: int) -> DipolarRarePara
     )
 
 
-def run_krylov(n_sea: int, t_final: float, steps: int) -> dict:
+def run_krylov_substeps(n_sea: int, n_substeps: int = 20) -> dict:
+    """Measure the Lanczos substep rate at production dt (status probe).
+
+    The substep program now compiles and runs at dim >= 8192 (the round-2
+    worker crash was the generic einsum apply; the flip apply fixed it), but
+    each 48-dim Lanczos substep pays ~4 dependent f64 dots x ~20 ms backend
+    latency, so full traces route through the Chebyshev engine below.  This
+    records the measured substep rate + drift as the krylov status entry.
+    """
     from quantumsimulations_tpu.dynamics.krylov import (
-        KRYLOV_M,
-        KRYLOV_THETA,
-        krylov_traces_assembled,
+        make_krylov_step,
         spectral_norm_bound,
     )
+    from quantumsimulations_tpu.ops.cplx import Cplx
+
+    p = production_params(n_sea, 30.0, 20_000)
+    model = build_model(p)
+    dim = int(np.prod(model.dims))
+    nb = spectral_norm_bound(model.hamiltonian)
+    dt = 30.0 / 19999
+    step, n_sub = make_krylov_step(model.hamiltonian, dt, norm_bound=nb)
+    print(f"[krylov] n_sea={n_sea} dim={dim} ||H||<={nb:.3e} "
+          f"substeps/output-step={n_sub}", flush=True)
+    import jax
+
+    sub_jit = jax.jit(step.substeps, static_argnums=(1,))
+    psi = Cplx.from_numpy(model.psi0)
+    t0 = time.perf_counter()
+    psi = sub_jit(psi, 2)
+    jax.block_until_ready(psi.re)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    psi = sub_jit(psi, n_substeps)
+    jax.block_until_ready(psi.re)
+    wall = time.perf_counter() - t0
+    import jax.numpy as jnp
+
+    nrm = float(np.asarray(jnp.sum(psi.abs2()))) ** 0.5
+    out = {
+        "engine": "krylov", "status": "ok", "n_sea": n_sea, "dim": dim,
+        "substeps_measured": n_substeps,
+        "substeps_per_output_step": n_sub,
+        "wall_s": round(wall, 2),
+        "s_per_substep": round(wall / n_substeps, 3),
+        "compile_plus_2_substeps_s": round(t_compile, 1),
+        "norm_after": nrm,
+        "note": "dependent-f64-dot latency bound; full traces use chebyshev",
+    }
+    print(f"[krylov] {wall:.1f}s for {n_substeps} substeps "
+          f"({out['s_per_substep']}s/substep), |psi| = {nrm:.9f}", flush=True)
+    return out
+
+
+def run_chebyshev(n_sea: int, t_final: float, steps: int) -> dict:
+    """The measured large-bath trace: Chebyshev basis sweep (matrix-free
+    flip applies, no inner products — dynamics/chebyshev.py)."""
+    from quantumsimulations_tpu.dynamics.chebyshev import (
+        chebyshev_coefficients,
+        chebyshev_traces_assembled,
+    )
+    from quantumsimulations_tpu.dynamics.krylov import spectral_norm_bound
 
     p = production_params(n_sea, t_final, steps)
     model = build_model(p)
     dim = int(np.prod(model.dims))
     t = np.linspace(0.0, t_final, steps)
     nb = spectral_norm_bound(model.hamiltonian)
-    print(f"[krylov] n_sea={n_sea} dim={dim} T={steps} horizon={t_final}s "
-          f"||H||<={nb:.3e}", flush=True)
+    K = chebyshev_coefficients(nb, t).shape[1]
+    print(f"[chebyshev] n_sea={n_sea} dim={dim} T={steps} horizon={t_final}s "
+          f"||H||<={nb:.3e} K={K} applies", flush=True)
     t0 = time.perf_counter()
-    rows = krylov_traces_assembled(
+    rows = chebyshev_traces_assembled(
         model.hamiltonian, model.psi0, t, model.dims,
         model.n_sea_effective, model.idx_rare, norm_bound=nb,
     )
     wall = time.perf_counter() - t0
     drift = float(np.abs(rows[6] - 1.0).max())
-    n_sub = max(1, int(np.ceil(nb * (t_final / (steps - 1)) / KRYLOV_THETA)))
-    total_matvecs = n_sub * KRYLOV_M * (steps - 1)
-    # production projection: substep count scales linearly with horizon
+    # applies scale linearly with horizon (K ~ ||H|| * t)
     proj_30s = wall * (30.0 / t_final)
     out = {
-        "engine": "krylov", "n_sea": n_sea, "dim": dim,
+        "engine": "chebyshev", "status": "ok", "n_sea": n_sea, "dim": dim,
         "t_final": t_final, "steps": steps, "wall_s": round(wall, 2),
-        "norm_drift": drift, "substeps_per_output": n_sub,
-        "matvecs_total": total_matvecs,
-        "matvecs_per_s": round(total_matvecs / wall, 1),
+        "norm_drift": drift, "applies_total": K,
+        "applies_per_s": round(K / wall, 1),
         "projected_30s_single_chip_s": round(proj_30s, 1),
         "Iz_sea_first_last": [float(rows[2][0]), float(rows[2][-1])],
     }
-    print(f"[krylov] {wall:.1f}s wall, norm drift {drift:.2e}, "
-          f"{out['matvecs_per_s']:.0f} matvecs/s, projected 30 s: "
+    print(f"[chebyshev] {wall:.1f}s wall, norm drift {drift:.2e}, "
+          f"{out['applies_per_s']:.0f} applies/s, projected 30 s: "
           f"{proj_30s:.0f}s", flush=True)
     return out
 
@@ -175,34 +227,51 @@ def main() -> None:
     ap.add_argument("--t-final", type=float, default=0.03)
     ap.add_argument("--steps", type=int, default=21)
     ap.add_argument("--krylov-only", action="store_true")
+    ap.add_argument("--chebyshev-only", action="store_true")
     ap.add_argument("--out", default=os.path.join(HERE, "large_bath_results.json"))
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
-    results = {"device": str(jax.devices()[0]),
-               "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    # dense measurements FIRST: a krylov worker crash (below) leaves the
-    # device unavailable for minutes
-    if not args.krylov_only:
-        results["dense"] = run_dense_projection()
+    # merge into an existing results file (stages can run separately)
+    results = {}
+    if os.path.isfile(args.out):
+        try:
+            with open(args.out, encoding="utf-8") as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
+    results["device"] = str(jax.devices()[0])
+    results["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+
+    def _save():
         with open(args.out, "w", encoding="utf-8") as f:
-            json.dump(results, f, indent=2)  # save-as-you-go
-    try:
-        results["krylov"] = run_krylov(args.n_sea, args.t_final, args.steps)
-    except Exception as exc:  # record infrastructure faults honestly
-        # Observed on this dev tunnel: the Lanczos substep program at
-        # dim >= 8192 reproducibly kills the TPU worker ("UNAVAILABLE: TPU
-        # device error / worker crashed"), even for 2 substeps — a
-        # kernel/compile fault, not a duration limit (the engine is exact
-        # on the virtual mesh, tests/test_sharding.py).  Record the fault
-        # and continue.
-        print(f"[krylov] FAILED: {exc!r}", flush=True)
-        results["krylov"] = {
-            "engine": "krylov", "n_sea": args.n_sea,
-            "status": "failed", "error": repr(exc)[:500],
-        }
-    with open(args.out, "w", encoding="utf-8") as f:
-        json.dump(results, f, indent=2)
+            json.dump(results, f, indent=2)
+
+    if not (args.krylov_only or args.chebyshev_only):
+        results["dense"] = run_dense_projection()
+        _save()
+    if not args.chebyshev_only:
+        try:
+            results["krylov"] = run_krylov_substeps(min(args.n_sea, 12))
+        except Exception as exc:  # record infrastructure faults honestly
+            print(f"[krylov] FAILED: {exc!r}", flush=True)
+            results["krylov"] = {
+                "engine": "krylov", "n_sea": args.n_sea,
+                "status": "failed", "error": repr(exc)[:500],
+            }
+        _save()
+    if not args.krylov_only:
+        try:
+            results["chebyshev"] = run_chebyshev(
+                args.n_sea, args.t_final, args.steps
+            )
+        except Exception as exc:
+            print(f"[chebyshev] FAILED: {exc!r}", flush=True)
+            results["chebyshev"] = {
+                "engine": "chebyshev", "n_sea": args.n_sea,
+                "status": "failed", "error": repr(exc)[:500],
+            }
+        _save()
     print(f"wrote {args.out}", flush=True)
 
 

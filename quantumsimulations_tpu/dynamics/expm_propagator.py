@@ -804,15 +804,14 @@ def expm_traces_assembled_ext(
         # chunk constants).  Sync after every dispatch.
         #
         # Limb split via the f32 triple-split fast path: 3 cheap host f32
-        # casts per plane, flat uploads at full tunnel bandwidth, and a
-        # device-NATIVE f32 limb extraction (ops/extprec.py::
-        # ext_split_upload).  Replaces the ~2L-pass host f64 split + int8
-        # stack upload that cost 20-30 s per run on the 1-core host
+        # casts per plane, ONE packed flat upload, and a single-dispatch
+        # device-NATIVE f32 limb extraction for both planes (ops/extprec.py
+        # ::ext_split_upload_pair).  Replaces the ~2L-pass host f64 split +
+        # int8 stack upload that cost 20-30 s per run on the 1-core host
         # (docs/ROUND2.md handoff item 3).
-        from ..ops.extprec import ext_split_upload
+        from ..ops.extprec import ext_split_upload_pair
 
-        Are = ext_split_upload(Hd.imag * dt_s)
-        Aim = ext_split_upload(-Hd.real * dt_s)
+        Are, Aim = ext_split_upload_pair(Hd.imag * dt_s, -Hd.real * dt_s)
         del Hd
         jax.block_until_ready(Aim)
         _mark("split(f32-triple)+upload")
@@ -907,6 +906,8 @@ def expm_traces_assembled_ext(
         flats.append(np.asarray(flat))
         done += adv_chunk
         chunks_run += 1
+        if _timing:
+            _mark(f"advance chunk {chunks_run} (+{adv_chunk} blocks)")
         if ckpt_dir and done < n_blocks:
             save_ext_advance(
                 ckpt_dir, ckpt_fp, done, flats,

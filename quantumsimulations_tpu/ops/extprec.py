@@ -584,18 +584,39 @@ def f32_triple_split_host(x: np.ndarray):
     return a1, a2, a3
 
 
+def _ext_carry_i8_digits(d8: jnp.ndarray) -> jnp.ndarray:
+    """Carry cascade over SMALL int8 digits (|d| <= 48, sums of <= 3 exact
+    limb extractions) -> canonical int8 limbs.  Same math as _ext_carry_i32
+    with per-limb i32 casts, so peak live memory is two int8 stacks plus one
+    limb-sized i32 transient (the full-stack i32 form held 4 GB at dim 8192
+    and thrashed HBM)."""
+    L = d8.shape[0]
+    limbs = [None] * L
+    carry = jnp.zeros(d8.shape[1:], jnp.int32)
+    for j in range(L - 1, 0, -1):
+        t = d8[j].astype(jnp.int32) + carry
+        carry = (t + 16) >> 5
+        limbs[j] = (t - (carry << 5)).astype(jnp.int8)
+    limbs[0] = (d8[0].astype(jnp.int32) + carry).astype(jnp.int8)
+    return jnp.stack(limbs)
+
+
 @partial(jax.jit, static_argnames=("L", "shape"))
 def _ext_limbs_from_f32_planes(a1, a2, a3, L: int, shape):
-    """(L, *shape) int8 canonical limbs from three flat f32 planes."""
-    digits = [jnp.zeros(shape, jnp.int32) for _ in range(L)]
+    """(L, *shape) int8 canonical limbs from three flat f32 planes.
+
+    Digits accumulate directly in int8 (each plane's limb is <= 16, the
+    3-plane sum <= 48): the int8 digit stack is 1/4 the footprint of i32,
+    which keeps the whole extraction resident at large dims."""
+    digits = [jnp.zeros(shape, jnp.int8) for _ in range(L)]
     scale = np.float32(2.0 ** (5 - EXT_E))
     for plane in (a1, a2, a3):
         r = plane.reshape(shape) * scale
         for j in range(L):
             l = jnp.rint(r)
-            digits[j] = digits[j] + l.astype(jnp.int32)
+            digits[j] = digits[j] + l.astype(jnp.int8)
             r = (r - l) * np.float32(32.0)
-    return _ext_carry_i32(jnp.stack(digits))
+    return _ext_carry_i8_digits(jnp.stack(digits))
 
 
 def ext_split_upload(x: np.ndarray, L: int = EXT_LIMBS) -> jnp.ndarray:
@@ -616,3 +637,42 @@ def ext_split_upload(x: np.ndarray, L: int = EXT_LIMBS) -> jnp.ndarray:
     d2 = _jax.device_put(a2.reshape(-1))
     d3 = _jax.device_put(a3.reshape(-1))
     return _ext_limbs_from_f32_planes(d1, d2, d3, L, tuple(x.shape))
+
+
+@partial(jax.jit, static_argnames=("L", "shape"))
+def _ext_limbs_from_f32_pair(flat, L: int, shape):
+    """One program: two ext stacks from six packed flat f32 planes."""
+    n = 1
+    for s in shape:
+        n *= s
+    outs = []
+    for plane_idx in range(2):
+        planes = [
+            flat[(3 * plane_idx + i) * n : (3 * plane_idx + i + 1) * n]
+            for i in range(3)
+        ]
+        outs.append(_ext_limbs_from_f32_planes(*planes, L=L, shape=shape))
+    return outs[0], outs[1]
+
+
+def ext_split_upload_pair(
+    x_a: np.ndarray, x_b: np.ndarray, L: int = EXT_LIMBS
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two host f64 arrays -> two device ext stacks in ONE upload + ONE
+    dispatch (each dispatch costs ~6 s of relay round-trip on the tunnel;
+    the packed transfer rides the 1-D fast path)."""
+    import jax as _jax
+
+    for x in (x_a, x_b):
+        maxabs = float(np.abs(x).max()) if x.size else 0.0
+        assert maxabs < 2.0**EXT_E, f"domain violated: max|x| = {maxabs}"
+    assert x_a.shape == x_b.shape
+    planes = []
+    for x in (x_a, x_b):
+        planes.extend(
+            a.reshape(-1) for a in f32_triple_split_host(np.ascontiguousarray(x))
+        )
+    packed = np.concatenate(planes)
+    return _ext_limbs_from_f32_pair(
+        _jax.device_put(packed), L, tuple(x_a.shape)
+    )

@@ -215,33 +215,39 @@ def _ext_obs_kernel(n_sites: int, dim: int):
         Ij = ai_ref[0].astype(jnp.int32)
         Ii = bi_ref[0].astype(jnp.int32)
         prod = Rj * Ri + Ij * Ii  # Re[conj(psi_j-limb) psi_i-limb] per row
-        row = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0)
+        tt = prod.shape[-1]
+
+        # NOTE: NO pltpu.roll anywhere — sublane dynamic_rotate of (dim, tt)
+        # planes measured ~100x slower than the elementwise work.  All level
+        # pairing is static reshape + slice on the leading (sublane) axes.
 
         nrow = 3 * n_sites
-        out_ref[0, nrow : nrow + 1, :] += jnp.sum(prod, axis=0, keepdims=True)
+        # dtype pinned: with x64 enabled jnp.sum(int32) promotes to int64,
+        # which Mosaic does not support
+        out_ref[0, nrow : nrow + 1, :] += jnp.sum(
+            prod, axis=0, keepdims=True, dtype=jnp.int32
+        )
         for k in range(n_sites):
             shift = n_sites - 1 - k  # site-k stride: dr = 2^shift
-            bit = (row >> shift) & 1
-            # z: +1 for level 0, -1 for level 1 (the 0.5 spin factor is
-            # applied in the f64 combine outside)
-            sign = 1 - 2 * bit
-            out_ref[0, 3 * k + 2 : 3 * k + 3, :] += jnp.sum(
-                prod * sign, axis=0, keepdims=True
-            )
-            # x/y: conj(psi_a) psi_b with b = a + dr — partner rows come in
-            # by a static sublane roll (shift must be non-negative: dim - dr
-            # is the upward circular shift); wrap-around rows land on
-            # bit = 1 and are masked out
+            dl = dim >> (shift + 1)
             dr = 1 << shift
-            Rir = pltpu.roll(Ri, dim - dr, axis=0)
-            Iir = pltpu.roll(Ii, dim - dr, axis=0)
-            m0 = 1 - bit
-            out_ref[0, 3 * k : 3 * k + 1, :] += jnp.sum(
-                m0 * (Rj * Rir + Ij * Iir), axis=0, keepdims=True
+            pv = prod.reshape(dl, 2, dr, tt)
+            # z: (level-0 sum) - (level-1 sum) per column; the 0.5 spin
+            # factor is applied in the f64 combine outside
+            zk = jnp.sum(pv[:, 0], axis=(0, 1), dtype=jnp.int32) - jnp.sum(
+                pv[:, 1], axis=(0, 1), dtype=jnp.int32
             )
-            out_ref[0, 3 * k + 1 : 3 * k + 2, :] += jnp.sum(
-                m0 * (Rj * Iir - Ij * Rir), axis=0, keepdims=True
-            )
+            out_ref[0, 3 * k + 2 : 3 * k + 3, :] += zk[None, :]
+            # x/y: conj(psi_a) psi_b with b the level-1 partner row — static
+            # slice views of the reshaped planes, products on half planes
+            Rja = Rj.reshape(dl, 2, dr, tt)[:, 0]
+            Ija = Ij.reshape(dl, 2, dr, tt)[:, 0]
+            Rib = Ri.reshape(dl, 2, dr, tt)[:, 1]
+            Iib = Ii.reshape(dl, 2, dr, tt)[:, 1]
+            xk = jnp.sum(Rja * Rib + Ija * Iib, axis=(0, 1), dtype=jnp.int32)
+            yk = jnp.sum(Rja * Iib - Ija * Rib, axis=(0, 1), dtype=jnp.int32)
+            out_ref[0, 3 * k : 3 * k + 1, :] += xk[None, :]
+            out_ref[0, 3 * k + 1 : 3 * k + 2, :] += yk[None, :]
 
     return kernel
 
@@ -271,16 +277,19 @@ def ext_obs_diagonals_int8(
     R = _round_up(3 * n_sites + 1, 8)
 
     grid = (T // t_tile, P)
+    # index-map constants pinned to i32: with x64 enabled a python literal
+    # lowers as i64, which the Mosaic scalar core rejects
+    zero = np.int32(0)
     plane = lambda which: pl.BlockSpec(
         (1, dim, t_tile),
-        (lambda t, p, jj_ref, ii_ref: (which(jj_ref, ii_ref, p), 0, t)),
+        (lambda t, p, jj_ref, ii_ref: (which(jj_ref, ii_ref, p), zero, t)),
         memory_space=pltpu.VMEM,
     )
     a_spec = plane(lambda jj_ref, ii_ref, p: jj_ref[p])
     b_spec = plane(lambda jj_ref, ii_ref, p: ii_ref[p])
     out_spec = pl.BlockSpec(
         (1, R, t_tile),
-        lambda t, p, jj_ref, ii_ref: (jj_ref[p] + ii_ref[p], 0, t),
+        lambda t, p, jj_ref, ii_ref: (jj_ref[p] + ii_ref[p], zero, t),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
@@ -296,6 +305,12 @@ def ext_obs_diagonals_int8(
             flops=int(P) * dim * T * (6 + 10 * n_sites),
             bytes_accessed=int(P) * dim * T * 4 + int(n_diag) * R * T * 4,
             transcendentals=0,
+        ),
+        # the unrolled per-site reduction holds ~44 MB of i32 transients at
+        # dim 8192 — beyond the 16 MB default scoped-vmem cap but well within
+        # the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(jj.astype(jnp.int32), ii.astype(jnp.int32), S_re, S_re, S_im, S_im)
