@@ -701,6 +701,49 @@ def _ext_advance_scan(
     return rows.reshape(-1), S_re, S_im  # rows flat for the tunnel
 
 
+@partial(jax.jit, static_argnames=("n_blocks",))
+def _ext_advance_collect(B_re, B_im, S_re, S_im, n_blocks: int):
+    """Advance `n_blocks` blocks, STACKING each pre-advance limb state.
+
+    Matmuls only — no Pallas call inside, so this program rides the
+    persistent compilation cache across processes (the combined
+    pallas-in-scan advance program recompiled ~13 min in every fresh
+    process; pure-XLA programs and the standalone obs kernel both cache
+    reliably).  Returns ((n_blocks, L, dim, block) stacks, advanced state).
+    """
+    from ..ops.extprec import ext_cmatmul
+
+    T = S_re.shape[-1]
+
+    def body(S, _):
+        S_re, S_im = S
+        n_re, n_im = ext_cmatmul(B_re, B_im, S_re, S_im, panel=T)
+        return (n_re, n_im), (S_re, S_im)
+
+    (S_re, S_im), (st_re, st_im) = jax.lax.scan(
+        body, (S_re, S_im), None, length=n_blocks
+    )
+    return st_re, st_im, S_re, S_im
+
+
+@partial(jax.jit, static_argnames=("dims", "idx_rare"))
+def _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
+    """Observable rows for a STACK of limb-state blocks via the fused Pallas
+    kernel: (n_blocks, L, dim, block) -> flat rows (n_blocks * 8 * block,)."""
+    nb, L, dim, blk = st_re.shape
+    S2_re = jnp.moveaxis(st_re, 0, 2).reshape(L, dim, nb * blk)
+    S2_im = jnp.moveaxis(st_im, 0, 2).reshape(L, dim, nb * blk)
+    xyz, norm2 = _ext_site_obs_fused(S2_re, S2_im, dims)
+    norms = jnp.sqrt(norm2)
+    sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+    rare = xyz[idx_rare]
+    rows = jnp.stack(
+        [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
+         jnp.full(norms.shape, e0)]
+    )  # (8, nb * blk) in chronological column order
+    return rows.reshape(8, nb, blk).transpose(1, 0, 2).reshape(-1)
+
+
 def expm_traces_assembled_ext(
     H: OperatorSum,
     psi0: np.ndarray,
@@ -899,10 +942,20 @@ def expm_traces_assembled_ext(
     abort_after = int(_os.environ.get("QST_EXT_ABORT_AFTER_CHUNKS", "0"))
     chunks_run = 0
     while done < n_blocks:
-        flat, S_re, S_im = _ext_advance_scan(
-            B_re, B_im, S_re, S_im, sea_mask, e0,
-            adv_chunk, dims, idx_rare, fused_obs=fused_obs,
-        )
+        if fused_obs:
+            # two cache-friendly dispatches: the matmul-only collect scan and
+            # the fused obs kernel over the stacked states (see
+            # _ext_advance_collect's docstring for why they are split)
+            st_re, st_im, S_re, S_im = _ext_advance_collect(
+                B_re, B_im, S_re, S_im, adv_chunk
+            )
+            flat = _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare)
+            del st_re, st_im
+        else:
+            flat, S_re, S_im = _ext_advance_scan(
+                B_re, B_im, S_re, S_im, sea_mask, e0,
+                adv_chunk, dims, idx_rare, fused_obs=False,
+            )
         flats.append(np.asarray(flat))
         done += adv_chunk
         chunks_run += 1
