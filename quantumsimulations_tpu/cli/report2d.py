@@ -81,7 +81,9 @@ def _scatter_page(pdf, graphs_dir, idx, name, x, y, color_khz, xlabel, ylabel, z
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("root", help="directory tree containing sweep folders")
+    p.add_argument("root", nargs="?", default=None,
+                   help="directory tree containing sweep folders; omitted = "
+                        "interactive pick (reference zero-arg workflow)")
     p.add_argument("-o", "--output", default=None, help="output PDF path")
     p.add_argument("--stable", action="store_true", help="add stable-region analysis")
     p.add_argument("--c-min", type=float, default=0.2)
@@ -89,6 +91,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bin-decimals", type=int, default=3)
     p.add_argument("--stable-json", default=None)
     args = p.parse_args(argv)
+
+    if args.root is None:
+        # reference zero-argument workflow (2D_sweep_report.py:54-77)
+        from ._interactive import pick_root_dir
+
+        args.root = pick_root_dir("Select the detuning sweep results folder")
+        if not args.root:
+            print("No directory selected. Exiting.")
+            raise SystemExit(1)
 
     root = os.path.abspath(args.root)
     pts = aggregate_points(root)

@@ -755,6 +755,7 @@ def expm_traces_assembled_ext(
     panel: int = 512,
     ckpt_dir: str | None = None,
     ckpt_every_blocks: int = 4,
+    fused_obs: bool | None = None,
 ) -> np.ndarray:
     """Assembled rows (8, T) via the ext (parity-grade) step operator.
 
@@ -911,7 +912,14 @@ def expm_traces_assembled_ext(
     # are computed and dropped — one compiled shape, negligible extra work.
     # The fused Pallas observable kernel needs all-spin-1/2 dims and
     # 128-lane-aligned blocks; otherwise fall back to the jnp reduction.
-    fused_obs = all(d == 2 for d in dims) and block % 128 == 0
+    # fused_obs=None auto-selects; an explicit False forces the jnp path
+    # (tests compare the two bit-for-bit at the same block size).
+    if fused_obs is None:
+        fused_obs = all(d == 2 for d in dims) and block % 128 == 0
+    elif fused_obs and not (all(d == 2 for d in dims) and block % 128 == 0):
+        raise ValueError(
+            "fused_obs=True needs all-spin-1/2 dims and block % 128 == 0"
+        )
     adv_chunk = min(_EXT_ADV_CHUNK, n_blocks)
     flats = []
     done = 0

@@ -398,3 +398,32 @@ def test_ext_split_upload_matches_ext_split():
     assert np.abs(b - x).max() <= 2.0**-50
     # canonical: |limbs| <= 16 beyond the fold limb
     assert np.abs(sb[1:]).max() <= 16
+
+
+def test_ext_split_dispatch_fused_matches_jnp_path():
+    """The cache-friendly split advance (matmul-only collect scan + one
+    standalone fused obs kernel over the stacked states) must reproduce the
+    single-scan jnp-reduction path at the SAME block size.  The limb matmuls
+    are exact integer arithmetic, so any difference is the f64 combine order
+    of the observable reduction — bounded well below the physics tolerance."""
+    from quantumsimulations_tpu.dynamics import expm_propagator as ep
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    p = DipolarRareParams(
+        n_sea=6, gamma_sea=gamma, gamma_rare=6.976e7, B0_sea=3.0, B0_rare=3.0,
+        B1_sea=2 * np.pi * 5e4 / gamma, B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+        omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0, omega_rf_rare=6.976e7 * 3.0,
+        phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+        t_final=0.005, steps=256, drive_sea=True, drive_rare=True,
+        is_spin_three_half=False, is_center_rare=True,
+    )
+    m = build_model(p)  # dims (2,)*7: fused-kernel eligible
+    t = np.linspace(0, p.t_final, p.steps)
+    args = (m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
+    rows_fused = ep.expm_traces_assembled_ext(*args, block=128, fused_obs=True)
+    rows_jnp = ep.expm_traces_assembled_ext(*args, block=128, fused_obs=False)
+    np.testing.assert_allclose(rows_fused, rows_jnp, rtol=0, atol=1e-12)
+    assert np.abs(rows_fused[6] - 1.0).max() < 1e-12  # norm conservation
