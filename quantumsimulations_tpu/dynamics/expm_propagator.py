@@ -803,18 +803,29 @@ def expm_traces_assembled_ext(
             print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
             _t0 = now
 
-    Hd = H.to_dense()
-    _mark("to_dense(host)")
-    # <H> at t=0 (conserved) and the scaling decision, both from the dense
-    # matrix on host — the term-IR apply would cost a slow remote compile.
-    e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hd @ psi0))))
-    _mark("e0(host)")
     if dim >= _EXT_CHUNK_DIM:
-        # host power iteration: native f64 matvecs beat shipping the dense
-        # planes to the chip and paying a dispatch round-trip (~50 s observed
-        # for the device estimate at dim 8192 vs ~8 s here)
-        norm = min(spectral_norm_bound(H), _spectral_norm_host(Hd))
+        # Sparse host assembly: the dipolar H is ~1% dense, so the COO
+        # triplet (to_coo, bit-identical values to to_dense) feeds e0, the
+        # norm estimate, AND the device upload without the dim^2 buffer.
+        import scipy.sparse as _sparse
+
+        coo_r, coo_c, coo_v = H.to_coo()
+        Hs = _sparse.csr_matrix(
+            (coo_v, (coo_r, coo_c)), shape=(dim, dim)
+        )
+        _mark("to_coo(host)")
+        e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hs @ psi0))))
+        _mark("e0(host)")
+        # host power iteration: native matvecs beat shipping the dense
+        # planes to the chip and paying a dispatch round-trip (~50 s
+        # observed for the device estimate at dim 8192 vs ~8 s here); csr
+        # matvecs make it ~100x cheaper again
+        norm = min(spectral_norm_bound(H), _spectral_norm_host(Hs))
     else:
+        Hd = H.to_dense()
+        _mark("to_dense(host)")
+        e0 = jnp.asarray(float(np.real(np.vdot(psi0, Hd @ psi0))))
+        _mark("e0(host)")
         norm = min(spectral_norm_bound(H), spectral_norm_estimate_dense(Hd))
     _mark("spectral norm")
     x = norm * abs(dt)
@@ -847,18 +858,19 @@ def expm_traces_assembled_ext(
         # into bounded-duration device programs (see the note above the
         # chunk constants).  Sync after every dispatch.
         #
-        # Limb split via the f32 triple-split fast path: 3 cheap host f32
-        # casts per plane, ONE packed flat upload, and a single-dispatch
-        # device-NATIVE f32 limb extraction for both planes (ops/extprec.py
-        # ::ext_split_upload_pair).  Replaces the ~2L-pass host f64 split +
-        # int8 stack upload that cost 20-30 s per run on the 1-core host
-        # (docs/ROUND2.md handoff item 3).
-        from ..ops.extprec import ext_split_upload_pair
+        # Limb split via the COO fast path: host f32 triple-split of the
+        # nnz-sized value arrays, one packed ~tens-of-MB upload, dense f32
+        # planes rebuilt by scatter on device, native-f32 limb extraction
+        # (ops/extprec.py::ext_split_upload_coo_pair).  Replaces the dense
+        # 1.6 GB plane upload (163 s observed on a degraded tunnel) and the
+        # older ~2L-pass host f64 split (docs/ROUND2.md handoff item 3).
+        from ..ops.extprec import ext_split_upload_coo_pair
 
-        Are, Aim = ext_split_upload_pair(Hd.imag * dt_s, -Hd.real * dt_s)
-        del Hd
+        Are, Aim = ext_split_upload_coo_pair(
+            coo_r, coo_c, coo_v.imag * dt_s, -coo_v.real * dt_s, dim
+        )
         jax.block_until_ready(Aim)
-        _mark("split(f32-triple)+upload")
+        _mark("split(coo-f32-triple)+upload")
         from ..ops.extprec import ext_add_identity
 
         # Horner init: D = A.  Fresh copies — the D buffers are donated
@@ -907,6 +919,12 @@ def expm_traces_assembled_ext(
             jax.block_until_ready(S_re)
             k0 += n
         _mark(f"doubling({log2_block} passes)")
+        if _os.environ.get("QST_EXT_CANON") == "1":
+            canon = jax.jit(lambda x: x.reshape(-1).reshape(x.shape))
+            B_re, B_im = canon(B_re), canon(B_im)
+            S_re, S_im = canon(S_re), canon(S_im)
+            jax.block_until_ready(S_im)
+            _mark("canonicalize layouts (experiment)")
 
     # advance in bounded chunks of blocks; the padded tail blocks (if any)
     # are computed and dropped — one compiled shape, negligible extra work.
@@ -957,7 +975,13 @@ def expm_traces_assembled_ext(
             st_re, st_im, S_re, S_im = _ext_advance_collect(
                 B_re, B_im, S_re, S_im, adv_chunk
             )
+            if _timing:
+                jax.block_until_ready(st_im)
+                _mark("  collect dispatch")
             flat = _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare)
+            if _timing:
+                jax.block_until_ready(flat)
+                _mark("  rows dispatch")
             del st_re, st_im
         else:
             flat, S_re, S_im = _ext_advance_scan(
@@ -974,6 +998,8 @@ def expm_traces_assembled_ext(
                 ckpt_dir, ckpt_fp, done, flats,
                 np.asarray(flatten(S_re)), np.asarray(flatten(S_im)),
             )
+            if _timing:
+                _mark("  ckpt save")
             if abort_after and chunks_run >= abort_after:
                 raise RuntimeError(
                     f"aborted after {chunks_run} advance chunks "

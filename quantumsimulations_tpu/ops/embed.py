@@ -133,6 +133,68 @@ class OperatorSum:
                 H[r, r + col_shift] += value
         return H
 
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Aggregated sparse (rows, cols, values) triplet of the operator.
+
+        Same index-arithmetic walk as :meth:`to_dense`, but accumulated into
+        per-column-shift vectors instead of a dense matrix: the dipolar model
+        family has O(n^2) distinct shifts with O(dim) entries each, so the
+        dense dim^2 buffer (512 MB at dim 8192) never exists.  Entries at the
+        same (row, col) are summed in the same term/combo order as to_dense,
+        so values match it BIT-FOR-BIT; exact zeros are dropped.  Duplicate
+        (row, col) pairs are fully aggregated — consumers may scatter with
+        ``set`` semantics.
+        """
+        dims = self.dims
+        dim = self.dim
+        n = len(dims)
+        strides = np.ones(n, dtype=np.int64)
+        for k in range(n - 2, -1, -1):
+            strides[k] = strides[k + 1] * dims[k + 1]
+        rows = np.arange(dim, dtype=np.int64)
+        digits = [(rows // strides[k]) % dims[k] for k in range(n)]
+
+        from itertools import product as _product
+
+        acc: dict[int, np.ndarray] = {}
+        for term in self.terms:
+            factor_entries = []
+            for site, which in term.factors:
+                M = local_op(dims[site], which)
+                nz = np.nonzero(M)
+                factor_entries.append(
+                    (site, [(int(a), int(b), M[a, b]) for a, b in zip(*nz)])
+                )
+            for combo in _product(*[ents for _, ents in factor_entries]):
+                value = term.coeff
+                mask = np.ones(dim, dtype=bool)
+                col_shift = np.int64(0)
+                for (site, _), (a, b, v) in zip(factor_entries, combo):
+                    value = value * v
+                    mask &= digits[site] == a
+                    col_shift += (b - a) * strides[site]
+                vec = acc.get(int(col_shift))
+                if vec is None:
+                    vec = acc.setdefault(
+                        int(col_shift), np.zeros(dim, dtype=np.complex128)
+                    )
+                vec[mask] += value
+        out_r, out_c, out_v = [], [], []
+        for shift in sorted(acc):
+            vec = acc[shift]
+            nzr = np.nonzero(vec)[0]
+            out_r.append(nzr)
+            out_c.append(nzr + shift)
+            out_v.append(vec[nzr])
+        if not out_r:
+            z = np.zeros(0)
+            return z.astype(np.int64), z.astype(np.int64), z.astype(np.complex128)
+        return (
+            np.concatenate(out_r),
+            np.concatenate(out_c),
+            np.concatenate(out_v),
+        )
+
     def to_dense_kron(self) -> np.ndarray:
         """Reference kron-chain assembly (slow; kept for validation)."""
         dim = self.dim

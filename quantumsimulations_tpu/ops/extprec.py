@@ -655,6 +655,71 @@ def _ext_limbs_from_f32_pair(flat, L: int, shape):
     return outs[0], outs[1]
 
 
+@partial(jax.jit, static_argnames=("L", "dim"))
+def _ext_limbs_from_coo_pair(idx, vals, L: int, dim: int):
+    """Two ext stacks from an aggregated COO triplet.
+
+    ``idx``: (2, nnz) int32 row/col indices (duplicates pre-aggregated on
+    host, so plain ``set`` scatter semantics are exact); ``vals``: (6, nnz)
+    f32 — the three exact f32 triple-split planes of each of the two parts.
+    Builds each part's three DENSE f32 planes by scatter into a zero matrix
+    (the implicit zeros are exactly the missing entries), then runs the
+    native-f32 limb extraction — identical math to the dense-plane path.
+    """
+    rows, cols = idx[0], idx[1]
+    outs = []
+    for part in range(2):
+        planes = [
+            jnp.zeros((dim, dim), jnp.float32)
+            .at[rows, cols]
+            .set(vals[3 * part + i], mode="drop", unique_indices=True)
+            .reshape(-1)
+            for i in range(3)
+        ]
+        outs.append(
+            _ext_limbs_from_f32_planes(*planes, L=L, shape=(dim, dim))
+        )
+    return outs[0], outs[1]
+
+
+def ext_split_upload_coo_pair(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    v_a: np.ndarray,
+    v_b: np.ndarray,
+    dim: int,
+    L: int = EXT_LIMBS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two device ext stacks of sparse matrices given as one aggregated COO
+    triplet — the large-dim fast path.
+
+    The dipolar Hamiltonian is ~1% dense at dim 8192, so shipping the dense
+    f32 triple-split planes moves ~1.6 GB through the tunnel (163 s observed
+    on a degraded link) where the COO form is ~30-60 MB.  Values are
+    triple-split on host (nnz-sized, cheap), packed with the i32 indices into
+    two flat uploads, and the dense planes are rebuilt on device by scatter —
+    the extraction math is bit-identical to :func:`ext_split_upload_pair`.
+    Indices must be duplicate-free (``OperatorSum.to_coo`` aggregates).
+    """
+    import jax as _jax
+
+    for v in (v_a, v_b):
+        maxabs = float(np.abs(v).max()) if v.size else 0.0
+        assert maxabs < 2.0**EXT_E, f"domain violated: max|v| = {maxabs}"
+    assert rows.shape == cols.shape == v_a.shape == v_b.shape
+    planes = []
+    for v in (v_a, v_b):
+        planes.extend(
+            a.reshape(-1)
+            for a in f32_triple_split_host(np.ascontiguousarray(v))
+        )
+    vals = np.stack(planes)  # (6, nnz) f32
+    idx = np.stack([rows, cols]).astype(np.int32)  # (2, nnz)
+    return _ext_limbs_from_coo_pair(
+        _jax.device_put(idx), _jax.device_put(vals), L, dim
+    )
+
+
 def ext_split_upload_pair(
     x_a: np.ndarray, x_b: np.ndarray, L: int = EXT_LIMBS
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

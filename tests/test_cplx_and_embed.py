@@ -234,3 +234,37 @@ def test_qubit_flip_apply_matches_dense():
     )
     m32 = build_model(p32)
     assert make_qubit_flip_apply(m32.hamiltonian) is None
+
+
+def test_to_coo_matches_to_dense():
+    """The aggregated COO triplet must reproduce to_dense BIT-FOR-BIT (same
+    accumulation order per entry) on both the all-qubit and spin-3/2 model
+    variants, with duplicate-free indices (scatter-set safe)."""
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.models.params import DipolarRareParams
+
+    gamma = 8.1812e7
+    for three_half in (False, True):
+        p = DipolarRareParams(
+            n_sea=4, gamma_sea=gamma, gamma_rare=6.976e7,
+            B0_sea=3.0, B0_rare=3.0,
+            B1_sea=2 * np.pi * 5e4 / gamma,
+            B1_rare=2 * np.pi * 70710.678 / 6.976e7,
+            omega_rf_sea=gamma * 3.0 - 2 * np.pi * 900.0,
+            omega_rf_rare=6.976e7 * 3.0,
+            phi_sea=np.pi / 2, phi_rare=np.pi / 2,
+            dipolar_scale=1e-7 * 1.054571817e-34, shell_scale=0.282393e-9,
+            t_final=1e-4, steps=3, drive_sea=True, drive_rare=True,
+            is_spin_three_half=three_half, is_center_rare=True,
+        )
+        H = build_model(p).hamiltonian
+        rows, cols, vals = H.to_coo()
+        # duplicate-free
+        lin = rows * H.dim + cols
+        assert len(np.unique(lin)) == len(lin)
+        dense = np.zeros((H.dim, H.dim), dtype=np.complex128)
+        dense[rows, cols] = vals
+        ref = H.to_dense()
+        np.testing.assert_array_equal(dense[ref != 0], ref[ref != 0])
+        # dropped entries are exact zeros in the dense form
+        assert np.all(dense[ref == 0] == 0)

@@ -427,3 +427,31 @@ def test_ext_split_dispatch_fused_matches_jnp_path():
     rows_jnp = ep.expm_traces_assembled_ext(*args, block=128, fused_obs=False)
     np.testing.assert_allclose(rows_fused, rows_jnp, rtol=0, atol=1e-12)
     assert np.abs(rows_fused[6] - 1.0).max() < 1e-12  # norm conservation
+
+
+def test_ext_split_upload_coo_pair_matches_dense_pair():
+    """The COO scatter upload path must produce the SAME canonical int8 limb
+    stacks as the dense-plane triple-split path (same per-entry split, zeros
+    exactly zero)."""
+    from quantumsimulations_tpu.ops.extprec import (
+        ext_split_upload_coo_pair,
+        ext_split_upload_pair,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 48
+    a = np.zeros((dim, dim))
+    b = np.zeros((dim, dim))
+    nnz = 200
+    r = rng.integers(0, dim, nnz)
+    c = rng.integers(0, dim, nnz)
+    a[r, c] = rng.standard_normal(nnz) * 2.0 ** rng.integers(-40, 3, nnz)
+    b[r, c] = rng.standard_normal(nnz) * 2.0 ** rng.integers(-40, 3, nnz)
+    rows, cols = np.nonzero(a + 1j * b)
+    sa_d, sb_d = ext_split_upload_pair(a, b)
+    sa_c, sb_c = ext_split_upload_coo_pair(
+        rows.astype(np.int64), cols.astype(np.int64),
+        a[rows, cols], b[rows, cols], dim,
+    )
+    np.testing.assert_array_equal(np.asarray(sa_c), np.asarray(sa_d))
+    np.testing.assert_array_equal(np.asarray(sb_c), np.asarray(sb_d))
