@@ -77,12 +77,14 @@ def _git_rev() -> str:
 def _init_jax():
     import jax
 
+    from quantumsimulations_tpu.utils.cache import enable_persistent_compile_cache
+
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: the big fused limb programs cost minutes
     # of (remote) XLA compile; cached executables make round-over-round bench
-    # runs measure compute, not the compiler
-    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # runs measure compute, not the compiler.  The repo ships `.jax_cache/`
+    # pre-populated with the production bench program entries.
+    enable_persistent_compile_cache(os.path.join(HERE, ".jax_cache"))
     log(f"devices: {jax.devices()}")
 
 
@@ -119,7 +121,19 @@ def _params_production(n_sea, delta_Hz, drive_rare, is_center_rare, t_final, ste
 
 
 def bench_sweep_n6(t_final: float, steps: int) -> dict:
-    """The production sweep batch; returns measurement dict (no oracle)."""
+    """The production sweep batch; returns measurement dict (no oracle).
+
+    Methodology: one WARM-UP pass with perturbed initial states (same program
+    shapes, different buffer values) triggers the one-time XLA compiles —
+    which the persistent `.jax_cache/` then absorbs for every later process —
+    followed by the MEASURED end-to-end pass with the true inputs (host eigh
+    + phase reduction + uploads + device program + trace download).  The
+    perturbation matters twice over: identical inputs would let the dev
+    tunnel's dispatch memoization return the warm-up's result in ~0 ms
+    (faking the measurement), and reporting steady-state throughput requires
+    the measured pass to do real work.  Cold-compile cost is reported
+    separately as ``warmup_wall``.
+    """
     from quantumsimulations_tpu.dynamics.eig_propagator import (
         eig_traces_assembled_batched,
         eigh_host,
@@ -140,6 +154,23 @@ def bench_sweep_n6(t_final: float, steps: int) -> dict:
     log(f"workload: {n_sims} evolutions, dim {int(np.prod(dims))}, "
         f"T={steps}, horizon {t_final}s")
 
+    ws, Vs = [], []
+    for m in models:
+        w, V = eigh_host(m.hamiltonian.to_dense())
+        ws.append(w)
+        Vs.append(V)
+    w_all, V_all = np.stack(ws), np.stack(Vs)
+    psi0_all = np.stack([m.psi0 for m in models])
+    nse = np.asarray([m.n_sea_effective for m in models])
+
+    t0 = time.perf_counter()
+    eig_traces_assembled_batched(
+        w_all, V_all, psi0_all * (1.0 + 1e-9), t, dims, nse,
+        models[0].idx_rare,
+    )
+    warmup_wall = time.perf_counter() - t0
+    log(f"warm-up pass (compile + transfers): {warmup_wall:.2f}s")
+
     t0 = time.perf_counter()
     ws, Vs = [], []
     for m in models:
@@ -148,15 +179,16 @@ def bench_sweep_n6(t_final: float, steps: int) -> dict:
         Vs.append(V)
     t_eigh = time.perf_counter() - t0
     rows = eig_traces_assembled_batched(
-        np.stack(ws), np.stack(Vs), np.stack([m.psi0 for m in models]), t, dims,
-        np.asarray([m.n_sea_effective for m in models]), models[0].idx_rare,
+        np.stack(ws), np.stack(Vs), psi0_all, t, dims, nse,
+        models[0].idx_rare,
     )
     wall = time.perf_counter() - t0
     norm_drift = float(np.abs(rows[:, 6, :] - 1.0).max())
     log(f"ours: {wall:.2f}s total ({t_eigh:.2f}s host eigh) "
         f"-> {n_sims / wall:.3f} evolutions/s, norm drift {norm_drift:.1e}")
     return {"wall": wall, "n_sims": n_sims, "steps": steps,
-            "t_final": t_final, "norm_drift": norm_drift}
+            "t_final": t_final, "norm_drift": norm_drift,
+            "warmup_wall": warmup_wall}
 
 
 def measure_oracle_per_sim(t_final: float, steps: int) -> float:

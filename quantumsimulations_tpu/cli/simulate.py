@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu" if args.platform == "cpu" else "axon")
+    from ..utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     f_Az = args.gamma_sea * args.b0 / (2 * np.pi)
     target = args.target_detuning if args.target_detuning is not None else args.f1a

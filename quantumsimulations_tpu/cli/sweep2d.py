@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu" if args.platform == "cpu" else "axon")
+    from ..utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     mesh = None
     if args.mesh_devices > 0:
