@@ -247,10 +247,12 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
         model.hamiltonian, model.psi0, t, model.dims,
         model.n_sea_effective, model.idx_rare,
         ckpt_dir=ckpt_dir,
-        # 8-block advance dispatches: 5 collect+obs dispatch pairs for the
-        # 40-block trace (tunnel round-trips are ~5 s each) at a snapshot
-        # cadence that still bounds a kill to <1/5 of the advance
-        ckpt_every_blocks=8,
+        # one mid-advance snapshot: each save ships the ~126 MB int8 limb
+        # state through the tunnel (~26 s), while the fused advance itself
+        # is ~1 s per 8-block chunk — the round-2 cadence of 8 spent 4x26 s
+        # protecting ~5 s of compute.  A single snapshot still exercises
+        # the resume path for the retry while costing one transfer.
+        ckpt_every_blocks=32,
     )
     wall = time.perf_counter() - t0
     norm_drift = float(np.abs(rows[6] - 1.0).max())

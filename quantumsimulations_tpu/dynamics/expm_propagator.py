@@ -528,9 +528,12 @@ _EXT_CHUNK_DIM = 4096  # use chunked dispatches at/above this dim
 # lookup per dispatch on the tunnel) against the tunnel's kill threshold for
 # long device programs (several minutes).  int8 matmuls run ~2.6 s each at
 # dim 8192, so these sizes keep every dispatch well under a minute.
-_EXT_HORNER_CHUNK = 5  # Horner iterations per dispatch
-_EXT_SQ_CHUNK = 6  # squarings per dispatch
-_EXT_DBL_CHUNK = 16  # doubling passes per dispatch (static widths: one program)
+_EXT_HORNER_CHUNK = 9  # Horner iterations per dispatch (one program/dispatch
+#   for the degree-10 production chain; body is a fori, so exe size does not
+#   grow with the count)
+_EXT_SQ_CHUNK = 8  # squarings per dispatch (16 = 8 + 8: one cached program,
+#   two ~20 s dispatches — well under the tunnel's multi-minute kill window)
+_EXT_DBL_CHUNK = 16  # doubling passes per dispatch (fori body: one program)
 _EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
 
 
@@ -615,23 +618,35 @@ def _ext_square_chunk(U_re, U_im, n: int, panel: int):
 def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0: int, n: int, panel: int):
     """Doubling passes k = k0 .. k0+n-1 of the seed/step-power chain.
 
-    State stacks are (L, dim, block) int8 limbs.  Unrolled with STATIC
-    widths: pass k applies U^(2^k) only to the 2^k live seed columns (the
-    fused program's fori applies to the whole padded buffer — sum(2^k) vs
-    n*block work).  Identical values: the limb matmul is columnwise, dead
-    columns never feed live ones.
+    State stacks are (L, dim, block) int8 limbs.  Shape-stable fori body
+    (the pass index is traced): pass k applies U^(2^k) to the FULL padded
+    column buffer and writes the product columns [0, 2^k) into [2^k, 2^(k+1))
+    by a dynamic roll + column mask.  Dead columns (>= the live width) are
+    exactly zero — the seed starts with one live column and zeros — so the
+    full-width matmul produces zeros there and the values are identical to
+    a live-width-only update.  The padded matmul costs n * block columns vs
+    the live sum(2^k) ~= block, a few % of the pass's own B@B squaring; in
+    exchange the whole chunk is ONE compact loop body, which shrank the
+    compiled executable ~4.5x (160 MB unrolled -> 36 MB) — executables ship
+    through the tunnel on first dispatch of each process, and that load was
+    measured at minutes on degraded windows.
     """
     from ..ops.extprec import ext_cmatmul
 
-    for i in range(n):
-        w = 1 << (k0 + i)
-        live_re = jax.lax.slice_in_dim(S_re, 0, w, axis=2)
-        live_im = jax.lax.slice_in_dim(S_im, 0, w, axis=2)
-        n_re, n_im = ext_cmatmul(B_re, B_im, live_re, live_im, panel=min(panel, w))
-        S_re = jax.lax.dynamic_update_slice_in_dim(S_re, n_re, w, axis=2)
-        S_im = jax.lax.dynamic_update_slice_in_dim(S_im, n_im, w, axis=2)
-        B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
-    return S_re, S_im, B_re, B_im
+    block = S_re.shape[2]
+    col = jnp.arange(block, dtype=jnp.int32)
+
+    def body(i, carry):
+        s_re, s_im, b_re, b_im = carry
+        w = jnp.left_shift(jnp.int32(1), jnp.int32(k0) + i.astype(jnp.int32))
+        p_re, p_im = ext_cmatmul(b_re, b_im, s_re, s_im, panel=min(panel, block))
+        live = (col >= w) & (col < jnp.left_shift(w, 1))
+        s_re = jnp.where(live[None, None, :], jnp.roll(p_re, w, axis=2), s_re)
+        s_im = jnp.where(live[None, None, :], jnp.roll(p_im, w, axis=2), s_im)
+        b_re, b_im = ext_cmatmul(b_re, b_im, b_re, b_im, panel=panel)
+        return s_re, s_im, b_re, b_im
+
+    return jax.lax.fori_loop(0, n, body, (S_re, S_im, B_re, B_im))
 
 
 def _ext_site_obs_fused(S_re, S_im, dims):
@@ -967,6 +982,28 @@ def expm_traces_assembled_ext(
     flatten = jax.jit(lambda x: x.reshape(-1))
     abort_after = int(_os.environ.get("QST_EXT_ABORT_AFTER_CHUNKS", "0"))
     chunks_run = 0
+
+    # checkpoint saves run in a background thread: each save ships two
+    # ~L*dim*block int8 planes through the tunnel (~126 MB, ~25 s at dim
+    # 8192), while an advance chunk itself is ~1 s — a synchronous save
+    # would spend most of the advance wall on crash insurance.  The thread
+    # holds its own flattened device arrays (the main loop rebinding S_re
+    # cannot invalidate them) and the NPZ write stays atomic (tmp+rename),
+    # so a kill mid-save leaves the previous snapshot intact.
+    import threading as _threading
+
+    ckpt_threads: list = []
+
+    def _save_async(done_now, flats_now, fr, fi):
+        def _run():
+            save_ext_advance(
+                ckpt_dir, ckpt_fp, done_now, flats_now,
+                np.asarray(fr), np.asarray(fi),
+            )
+        th = _threading.Thread(target=_run, daemon=True)
+        th.start()
+        ckpt_threads.append(th)
+
     while done < n_blocks:
         if fused_obs:
             # two cache-friendly dispatches: the matmul-only collect scan and
@@ -994,18 +1031,19 @@ def expm_traces_assembled_ext(
         if _timing:
             _mark(f"advance chunk {chunks_run} (+{adv_chunk} blocks)")
         if ckpt_dir and done < n_blocks:
-            save_ext_advance(
-                ckpt_dir, ckpt_fp, done, flats,
-                np.asarray(flatten(S_re)), np.asarray(flatten(S_im)),
-            )
+            _save_async(done, list(flats), flatten(S_re), flatten(S_im))
             if _timing:
-                _mark("  ckpt save")
+                _mark("  ckpt save (async)")
             if abort_after and chunks_run >= abort_after:
+                for th in ckpt_threads:  # the abort hook tests resume: the
+                    th.join()  # snapshot must be on disk before we raise
                 raise RuntimeError(
                     f"aborted after {chunks_run} advance chunks "
                     "(QST_EXT_ABORT_AFTER_CHUNKS)"
                 )
     if ckpt_dir:
+        for th in ckpt_threads:
+            th.join()
         clear_ext_advance(ckpt_dir)
     _mark(f"advance({n_blocks} blocks)")
     arr = np.concatenate(flats).reshape(done, 8, block)[:n_blocks]
