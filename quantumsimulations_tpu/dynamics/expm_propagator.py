@@ -759,6 +759,64 @@ def _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
     return rows.reshape(8, nb, blk).transpose(1, 0, 2).reshape(-1)
 
 
+def _ext_preamble_chunked(
+    Are, Aim, psi0, coeffs, n_sq: int, log2_block: int, pan: int,
+    dim: int, block: int, _mark,
+):
+    """Chunked-dispatch fallback of the fused preamble (QST_EXT_CHUNKED=1).
+
+    Same math in the same order as ``_ext_expm_program``, split into
+    bounded-duration device programs with a host sync after each — the
+    conservative path if a fused dim>=8192 compile ever regresses on the
+    remote compiler.  Bit-identical results (tested at small dims via
+    monkeypatched _EXT_CHUNK_DIM).
+    """
+    from ..ops.extprec import EXT_LIMBS as _L
+    from ..ops.extprec import ext_add_identity, ext_split_upload
+
+    # Horner init: D = A.  Fresh copies — the D buffers are donated
+    # through the chunk calls while the A stacks stay live.
+    D_re, D_im = jnp.copy(Are), jnp.copy(Aim)
+    k = _EXT_DEGREE
+    while k > 1:
+        n_it = min(_EXT_HORNER_CHUNK, k - 1)
+        # donated d buffers; A stacks passed fresh each call
+        D_re, D_im = _ext_horner_chunk(
+            Are, Aim, D_re, D_im, coeffs, jnp.asarray(k), n_it, pan
+        )
+        jax.block_until_ready(D_re)
+        k -= n_it
+    _mark(f"horner({_EXT_DEGREE - 1} matmuls)")
+    U_re = ext_add_identity(D_re)
+    U_im = D_im
+    del D_re, D_im
+    remaining = n_sq
+    while remaining > 0:
+        n = min(_EXT_SQ_CHUNK, remaining)
+        U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
+        jax.block_until_ready(U_re)
+        remaining -= n
+    _mark(f"squarings({n_sq} matmuls)")
+    B_re, B_im = U_re, U_im  # full-L step-power stacks; B = U from here
+
+    S_re = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
+        ext_split_upload(np.ascontiguousarray(psi0.real))
+    )
+    S_im = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
+        ext_split_upload(np.ascontiguousarray(psi0.imag))
+    )
+    k0 = 0
+    while k0 < log2_block:
+        n = min(_EXT_DBL_CHUNK, log2_block - k0)
+        S_re, S_im, B_re, B_im = _ext_dbl_chunk(
+            S_re, S_im, B_re, B_im, k0, n, pan
+        )
+        jax.block_until_ready(S_re)
+        k0 += n
+    _mark(f"doubling({log2_block} passes)")
+    return S_re, S_im, B_re, B_im
+
+
 def expm_traces_assembled_ext(
     H: OperatorSum,
     psi0: np.ndarray,
@@ -869,10 +927,6 @@ def expm_traces_assembled_ext(
         jax.block_until_ready(S_re)
         _mark("fused program")
     else:
-        # chunked dispatches: same math/order as the fused program, split
-        # into bounded-duration device programs (see the note above the
-        # chunk constants).  Sync after every dispatch.
-        #
         # Limb split via the COO fast path: host f32 triple-split of the
         # nnz-sized value arrays, one packed ~tens-of-MB upload, dense f32
         # planes rebuilt by scatter on device, native-f32 limb extraction
@@ -886,54 +940,35 @@ def expm_traces_assembled_ext(
         )
         jax.block_until_ready(Aim)
         _mark("split(coo-f32-triple)+upload")
-        from ..ops.extprec import ext_add_identity
-
-        # Horner init: D = A.  Fresh copies — the D buffers are donated
-        # through the chunk calls while the A stacks stay live.
-        D_re, D_im = jnp.copy(Are), jnp.copy(Aim)
-        k = _EXT_DEGREE
-        while k > 1:
-            n_it = min(_EXT_HORNER_CHUNK, k - 1)
-            # donated d buffers; A stacks passed fresh each call
-            D_re, D_im = _ext_horner_chunk(
-                Are, Aim, D_re, D_im, coeffs, jnp.asarray(k), n_it, pan
+        if _os.environ.get("QST_EXT_CHUNKED") == "1":
+            S_re, S_im, B_re, B_im = _ext_preamble_chunked(
+                Are, Aim, psi0, coeffs, n_sq, log2_block, pan, dim, block,
+                _mark,
             )
-            jax.block_until_ready(D_re)
-            k -= n_it
-        _mark(f"horner({_EXT_DEGREE - 1} matmuls)")
-        # the fused program's XLA liveness frees each stack when its phase
-        # ends; here the Python references would keep them alive (each full
-        # ext stack pair is ~L*dim^2*2*2 bytes — 4 GB at dim 8192), so drop
-        # them explicitly before the next phase allocates its buffers
-        del Are, Aim
-        U_re = ext_add_identity(D_re)
-        U_im = D_im
-        del D_re, D_im
-        remaining = n_sq
-        while remaining > 0:
-            n = min(_EXT_SQ_CHUNK, remaining)
-            U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
-            jax.block_until_ready(U_re)
-            remaining -= n
-        _mark(f"squarings({n_sq} matmuls)")
-        B_re, B_im = U_re, U_im  # full-L step-power stacks; B = U from here
-        from ..ops.extprec import EXT_LIMBS as _L
-
-        S_re = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
-            ext_split_upload(np.ascontiguousarray(psi0.real))
-        )
-        S_im = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
-            ext_split_upload(np.ascontiguousarray(psi0.imag))
-        )
-        k0 = 0
-        while k0 < log2_block:
-            n = min(_EXT_DBL_CHUNK, log2_block - k0)
-            S_re, S_im, B_re, B_im = _ext_dbl_chunk(
-                S_re, S_im, B_re, B_im, k0, n, pan
+        else:
+            # ONE device program for the whole horner/squaring/doubling
+            # preamble.  The chunked split (below, QST_EXT_CHUNKED=1) dates
+            # from when a B@B ext matmul was believed to cost ~35 s — that
+            # figure was a queue-acceptance misread (block_until_ready does
+            # not wait for completion on this backend); the fetch-synced
+            # marginal is 2.56 s, so the full ~34-matmul chain is ~90 s of
+            # device time, well inside the tunnel's multi-minute kill
+            # window.  One dispatch also means one executable load and no
+            # inter-phase queue drains, each of which was measured at
+            # minutes on degraded windows.
+            S_re, S_im, B_re, B_im = _ext_expm_program(
+                Are, Aim,
+                ext_split_upload(np.ascontiguousarray(psi0.real)),
+                ext_split_upload(np.ascontiguousarray(psi0.imag)),
+                coeffs,
+                n_sq=n_sq,
+                degree=_EXT_DEGREE,
+                log2_block=log2_block,
+                panel=pan,
             )
+            del Are, Aim
             jax.block_until_ready(S_re)
-            k0 += n
-        _mark(f"doubling({log2_block} passes)")
+            _mark(f"fused preamble ({_EXT_DEGREE - 1}+{n_sq}+{log2_block} matmuls)")
         if _os.environ.get("QST_EXT_CANON") == "1":
             canon = jax.jit(lambda x: x.reshape(-1).reshape(x.shape))
             B_re, B_im = canon(B_re), canon(B_im)

@@ -255,8 +255,14 @@ def test_ext_chunked_matches_fused(monkeypatch):
     t = np.linspace(0, p.t_final, p.steps)
     args = (m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
     fused = ep.expm_traces_assembled_ext(*args, block=16)
-    monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 1)  # force the chunked path
+    monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 1)  # force the large-dim branch
     monkeypatch.setattr(ep, "_EXT_ADV_CHUNK", 3)  # exercise padded tail too
+    # default large-dim path: fused preamble fed by the COO f32-triple-split
+    # upload (vs the small-dim dense-split upload of `fused`)
+    large_fused = ep.expm_traces_assembled_ext(*args, block=16)
+    np.testing.assert_array_equal(large_fused, fused)
+    # fallback: bounded chunked dispatches (QST_EXT_CHUNKED=1)
+    monkeypatch.setenv("QST_EXT_CHUNKED", "1")
     chunked = ep.expm_traces_assembled_ext(*args, block=16)
     np.testing.assert_array_equal(chunked, fused)
 
