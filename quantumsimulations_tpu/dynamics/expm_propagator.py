@@ -763,13 +763,14 @@ def _ext_preamble_chunked(
     Are, Aim, psi0, coeffs, n_sq: int, log2_block: int, pan: int,
     dim: int, block: int, _mark,
 ):
-    """Chunked-dispatch fallback of the fused preamble (QST_EXT_CHUNKED=1).
+    """Chunked-dispatch preamble: the default at dim >= _EXT_CHUNK_DIM.
 
     Same math in the same order as ``_ext_expm_program``, split into
-    bounded-duration device programs with a host sync after each — the
-    conservative path if a fused dim>=8192 compile ever regresses on the
-    remote compiler.  Bit-identical results (tested at small dims via
-    monkeypatched _EXT_CHUNK_DIM).
+    bounded-duration device programs with a host sync after each.  The fused
+    single program is the better shape on paper but reproducibly faults the
+    TPU worker at dim 8192 (see the QST_EXT_FUSED branch in the caller).
+    Bit-identical results (tested at small dims via monkeypatched
+    _EXT_CHUNK_DIM).
     """
     from ..ops.extprec import EXT_LIMBS as _L
     from ..ops.extprec import ext_add_identity, ext_split_upload
@@ -940,22 +941,16 @@ def expm_traces_assembled_ext(
         )
         jax.block_until_ready(Aim)
         _mark("split(coo-f32-triple)+upload")
-        if _os.environ.get("QST_EXT_CHUNKED") == "1":
-            S_re, S_im, B_re, B_im = _ext_preamble_chunked(
-                Are, Aim, psi0, coeffs, n_sq, log2_block, pan, dim, block,
-                _mark,
-            )
-        else:
+        if _os.environ.get("QST_EXT_FUSED") == "1":
             # ONE device program for the whole horner/squaring/doubling
-            # preamble.  The chunked split (below, QST_EXT_CHUNKED=1) dates
-            # from when a B@B ext matmul was believed to cost ~35 s — that
-            # figure was a queue-acceptance misread (block_until_ready does
-            # not wait for completion on this backend); the fetch-synced
-            # marginal is 2.56 s, so the full ~34-matmul chain is ~90 s of
-            # device time, well inside the tunnel's multi-minute kill
-            # window.  One dispatch also means one executable load and no
-            # inter-phase queue drains, each of which was measured at
-            # minutes on degraded windows.
+            # preamble.  In principle the right shape — the fetch-synced
+            # marginal B@B is 2.56 s, so the ~34-matmul chain is ~90 s of
+            # device time, one executable load, no inter-phase queue
+            # drains — but at dim 8192 the compiled program REPRODUCIBLY
+            # faults the TPU worker at runtime ("UNAVAILABLE: TPU device
+            # error", 2 of 2 attempts, 2026-08-17), the same class of fault
+            # that forced the chunked split originally.  Kept opt-in for
+            # re-testing on other backends/runtimes.
             S_re, S_im, B_re, B_im = _ext_expm_program(
                 Are, Aim,
                 ext_split_upload(np.ascontiguousarray(psi0.real)),
@@ -969,6 +964,12 @@ def expm_traces_assembled_ext(
             del Are, Aim
             jax.block_until_ready(S_re)
             _mark(f"fused preamble ({_EXT_DEGREE - 1}+{n_sq}+{log2_block} matmuls)")
+        else:
+            S_re, S_im, B_re, B_im = _ext_preamble_chunked(
+                Are, Aim, psi0, coeffs, n_sq, log2_block, pan, dim, block,
+                _mark,
+            )
+            del Are, Aim
         if _os.environ.get("QST_EXT_CANON") == "1":
             canon = jax.jit(lambda x: x.reshape(-1).reshape(x.shape))
             B_re, B_im = canon(B_re), canon(B_im)

@@ -257,14 +257,15 @@ def test_ext_chunked_matches_fused(monkeypatch):
     fused = ep.expm_traces_assembled_ext(*args, block=16)
     monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 1)  # force the large-dim branch
     monkeypatch.setattr(ep, "_EXT_ADV_CHUNK", 3)  # exercise padded tail too
-    # default large-dim path: fused preamble fed by the COO f32-triple-split
-    # upload (vs the small-dim dense-split upload of `fused`)
-    large_fused = ep.expm_traces_assembled_ext(*args, block=16)
-    np.testing.assert_array_equal(large_fused, fused)
-    # fallback: bounded chunked dispatches (QST_EXT_CHUNKED=1)
-    monkeypatch.setenv("QST_EXT_CHUNKED", "1")
+    # default large-dim path: bounded chunked dispatches fed by the COO
+    # f32-triple-split upload (vs the small-dim dense-split upload of `fused`)
     chunked = ep.expm_traces_assembled_ext(*args, block=16)
     np.testing.assert_array_equal(chunked, fused)
+    # opt-in fused preamble at large dims (QST_EXT_FUSED=1; faults the real
+    # TPU worker at dim 8192 but is exact — keep its math covered on CPU)
+    monkeypatch.setenv("QST_EXT_FUSED", "1")
+    large_fused = ep.expm_traces_assembled_ext(*args, block=16)
+    np.testing.assert_array_equal(large_fused, fused)
 
 
 def test_ext_carry_i32_value_exact():
