@@ -491,17 +491,18 @@ def _ext_expm_program(
     S_re = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p_re_limbs)
     S_im = jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p_im_limbs)
 
+    shift = _dbl_shift_matrices(0, max(log2_block, 1), block)
+
     def dbl(k, carry):
         S_re, S_im, B_re, B_im = carry
-        # apply U^(2^k) to the WHOLE padded buffer (dead columns are garbage,
-        # overwritten below or never read); shift live columns by 2^k steps
+        # apply U^(2^k) to the WHOLE padded buffer (dead columns are zero)
+        # and add the product columns [0, 2^k) into [2^k, 2^(k+1)) through
+        # the 0/1 shift matrix — exact, and ~4 orders of magnitude faster
+        # than a traced-shift roll on the lane axis (see _shift_cols)
         n_re, n_im = ext_cmatmul(B_re, B_im, S_re, S_im, panel=min(panel, block))
-        w = 1 << k
-        mask = (jnp.arange(block) >= w) & (jnp.arange(block) < 2 * w)
-        shifted_re = jnp.roll(n_re, w, axis=2)
-        shifted_im = jnp.roll(n_im, w, axis=2)
-        S_re = jnp.where(mask[None, None, :], shifted_re, S_re)
-        S_im = jnp.where(mask[None, None, :], shifted_im, S_im)
+        Pk = jax.lax.dynamic_index_in_dim(shift, k, axis=0, keepdims=False)
+        S_re = S_re + _shift_cols(n_re, Pk)
+        S_im = S_im + _shift_cols(n_im, Pk)
         B_re, B_im = ext_cmatmul(B_re, B_im, B_re, B_im, panel=panel)
         return S_re, S_im, B_re, B_im
 
@@ -610,6 +611,27 @@ def _ext_square_chunk(U_re, U_im, n: int, panel: int):
     return jax.lax.fori_loop(0, n, body, (U_re, U_im))
 
 
+def _dbl_shift_matrices(k0: int, n: int, block: int) -> jnp.ndarray:
+    """(n, block, block) int8 constants: row c of matrix i is e_{c + 2^(k0+i)}
+    for c < 2^(k0+i), else zero — right-multiplying a (.., block) panel by
+    matrix i copies columns [0, w) to [w, 2w) and zeroes everything else."""
+    P = np.zeros((n, block, block), np.int8)
+    for i in range(n):
+        w = 1 << (k0 + i)
+        if w < block:
+            P[i, np.arange(w), np.arange(w) + w] = 1
+    return jnp.asarray(P)
+
+
+def _shift_cols(p: jnp.ndarray, Pk: jnp.ndarray) -> jnp.ndarray:
+    """Exact column relocation of an int8 limb stack via an int8 0/1 matrix
+    on the MXU.  A traced-shift jnp.roll on the lane axis lowers to a gather
+    measured at ~10 s per (L, 8192, 512) plane; this matmul is ~0.5 ms."""
+    return jnp.einsum(
+        "lmk,kn->lmn", p, Pk, preferred_element_type=jnp.int32
+    ).astype(jnp.int8)
+
+
 @partial(
     jax.jit,
     static_argnames=("k0", "n", "panel"),
@@ -620,29 +642,30 @@ def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0: int, n: int, panel: int):
 
     State stacks are (L, dim, block) int8 limbs.  Shape-stable fori body
     (the pass index is traced): pass k applies U^(2^k) to the FULL padded
-    column buffer and writes the product columns [0, 2^k) into [2^k, 2^(k+1))
-    by a dynamic roll + column mask.  Dead columns (>= the live width) are
-    exactly zero — the seed starts with one live column and zeros — so the
-    full-width matmul produces zeros there and the values are identical to
-    a live-width-only update.  The padded matmul costs n * block columns vs
-    the live sum(2^k) ~= block, a few % of the pass's own B@B squaring; in
-    exchange the whole chunk is ONE compact loop body, which shrank the
-    compiled executable ~4.5x (160 MB unrolled -> 36 MB) — executables ship
-    through the tunnel on first dispatch of each process, and that load was
-    measured at minutes on degraded windows.
+    column buffer and adds the product columns [0, 2^k) into [2^k, 2^(k+1))
+    through a precomputed 0/1 shift matrix (`_shift_cols` — exact: the
+    target columns hold zeros, the shift matrix zeroes every other column).
+    Dead columns (>= the live width) are exactly zero — the seed starts with
+    one live column and zeros — so the full-width matmul produces zeros
+    there and the values are identical to a live-width-only update.  The
+    padded matmul costs n * block columns vs the live sum(2^k) ~= block, a
+    few % of the pass's own B@B squaring; in exchange the whole chunk is ONE
+    compact loop body, which shrank the compiled executable ~4.5x (160 MB
+    unrolled -> 36 MB) — executables ship through the tunnel on first
+    dispatch of each process, and that load was measured at minutes on
+    degraded windows.
     """
     from ..ops.extprec import ext_cmatmul
 
     block = S_re.shape[2]
-    col = jnp.arange(block, dtype=jnp.int32)
+    shift = _dbl_shift_matrices(k0, n, block)
 
     def body(i, carry):
         s_re, s_im, b_re, b_im = carry
-        w = jnp.left_shift(jnp.int32(1), jnp.int32(k0) + i.astype(jnp.int32))
         p_re, p_im = ext_cmatmul(b_re, b_im, s_re, s_im, panel=min(panel, block))
-        live = (col >= w) & (col < jnp.left_shift(w, 1))
-        s_re = jnp.where(live[None, None, :], jnp.roll(p_re, w, axis=2), s_re)
-        s_im = jnp.where(live[None, None, :], jnp.roll(p_im, w, axis=2), s_im)
+        Pk = jax.lax.dynamic_index_in_dim(shift, i, axis=0, keepdims=False)
+        s_re = s_re + _shift_cols(p_re, Pk)
+        s_im = s_im + _shift_cols(p_im, Pk)
         b_re, b_im = ext_cmatmul(b_re, b_im, b_re, b_im, panel=panel)
         return s_re, s_im, b_re, b_im
 
@@ -787,7 +810,7 @@ def _ext_preamble_chunked(
         )
         jax.block_until_ready(D_re)
         k -= n_it
-    _mark(f"horner({_EXT_DEGREE - 1} matmuls)")
+    _mark(f"horner({_EXT_DEGREE - 1} matmuls)", sync=D_re[0, 0, :1])
     U_re = ext_add_identity(D_re)
     U_im = D_im
     del D_re, D_im
@@ -797,7 +820,7 @@ def _ext_preamble_chunked(
         U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
         jax.block_until_ready(U_re)
         remaining -= n
-    _mark(f"squarings({n_sq} matmuls)")
+    _mark(f"squarings({n_sq} matmuls)", sync=U_re[0, 0, :1])
     B_re, B_im = U_re, U_im  # full-L step-power stacks; B = U from here
 
     S_re = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
@@ -814,7 +837,7 @@ def _ext_preamble_chunked(
         )
         jax.block_until_ready(S_re)
         k0 += n
-    _mark(f"doubling({log2_block} passes)")
+    _mark(f"doubling({log2_block} passes)", sync=S_re[0, 0, :1])
     return S_re, S_im, B_re, B_im
 
 
@@ -867,15 +890,23 @@ def expm_traces_assembled_ext(
     import os as _os
     import time as _time
 
-    _timing = _os.environ.get("QST_EXT_TIMING") == "1"
+    _timing_lvl = int(_os.environ.get("QST_EXT_TIMING", "0") or "0")
+    _timing = _timing_lvl >= 1
     _t0 = _time.perf_counter()
 
-    def _mark(label):
+    def _mark(label, sync=None):
+        """Print a phase wall.  At QST_EXT_TIMING=2 and with ``sync`` given,
+        fetch one element first: block_until_ready returns at dispatch
+        ACCEPTANCE on this backend, so only a value fetch times real
+        completion (docs/ROUND3.md)."""
         nonlocal _t0
-        if _timing:
-            now = _time.perf_counter()
-            print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
-            _t0 = now
+        if not _timing:
+            return
+        if _timing_lvl >= 2 and sync is not None:
+            np.asarray(jax.device_get(sync))
+        now = _time.perf_counter()
+        print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
+        _t0 = now
 
     if dim >= _EXT_CHUNK_DIM:
         # Sparse host assembly: the dipolar H is ~1% dense, so the COO
@@ -940,7 +971,7 @@ def expm_traces_assembled_ext(
             coo_r, coo_c, coo_v.imag * dt_s, -coo_v.real * dt_s, dim
         )
         jax.block_until_ready(Aim)
-        _mark("split(coo-f32-triple)+upload")
+        _mark("split(coo-f32-triple)+upload", sync=Aim[0, 0, :1])
         if _os.environ.get("QST_EXT_FUSED") == "1":
             # ONE device program for the whole horner/squaring/doubling
             # preamble.  In principle the right shape — the fetch-synced
@@ -963,7 +994,7 @@ def expm_traces_assembled_ext(
             )
             del Are, Aim
             jax.block_until_ready(S_re)
-            _mark(f"fused preamble ({_EXT_DEGREE - 1}+{n_sq}+{log2_block} matmuls)")
+            _mark(f"fused preamble ({_EXT_DEGREE - 1}+{n_sq}+{log2_block} matmuls)", sync=S_re[0, 0, :1])
         else:
             S_re, S_im, B_re, B_im = _ext_preamble_chunked(
                 Are, Aim, psi0, coeffs, n_sq, log2_block, pan, dim, block,
@@ -1050,11 +1081,11 @@ def expm_traces_assembled_ext(
             )
             if _timing:
                 jax.block_until_ready(st_im)
-                _mark("  collect dispatch")
+                _mark("  collect dispatch", sync=st_im[0, 0, 0, :1])
             flat = _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare)
             if _timing:
                 jax.block_until_ready(flat)
-                _mark("  rows dispatch")
+                _mark("  rows dispatch", sync=flat[:1])
             del st_re, st_im
         else:
             flat, S_re, S_im = _ext_advance_scan(
