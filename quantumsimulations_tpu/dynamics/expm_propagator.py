@@ -534,7 +534,8 @@ _EXT_HORNER_CHUNK = 9  # Horner iterations per dispatch (one program/dispatch
 #   grow with the count)
 _EXT_SQ_CHUNK = 8  # squarings per dispatch (16 = 8 + 8: one cached program,
 #   two ~20 s dispatches — well under the tunnel's multi-minute kill window)
-_EXT_DBL_CHUNK = 16  # doubling passes per dispatch (fori body: one program)
+# (doubling runs as per-pass seed-step + single-squaring dispatches — see
+# _ext_dbl_seed_step for why a combined per-pass loop body is pathological)
 _EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
 
 
@@ -632,44 +633,26 @@ def _shift_cols(p: jnp.ndarray, Pk: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.int8)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k0", "n", "panel"),
-    donate_argnums=(0, 1, 2, 3),
-)
-def _ext_dbl_chunk(S_re, S_im, B_re, B_im, k0: int, n: int, panel: int):
-    """Doubling passes k = k0 .. k0+n-1 of the seed/step-power chain.
+@partial(jax.jit, static_argnames=("panel",), donate_argnums=(2, 3))
+def _ext_dbl_seed_step(B_re, B_im, S_re, S_im, P, panel: int):
+    """One seed-extension step of the doubling chain: S += shift(B @ S, P).
 
-    State stacks are (L, dim, block) int8 limbs.  Shape-stable fori body
-    (the pass index is traced): pass k applies U^(2^k) to the FULL padded
-    column buffer and adds the product columns [0, 2^k) into [2^k, 2^(k+1))
-    through a precomputed 0/1 shift matrix (`_shift_cols` — exact: the
-    target columns hold zeros, the shift matrix zeroes every other column).
-    Dead columns (>= the live width) are exactly zero — the seed starts with
-    one live column and zeros — so the full-width matmul produces zeros
-    there and the values are identical to a live-width-only update.  The
-    padded matmul costs n * block columns vs the live sum(2^k) ~= block, a
-    few % of the pass's own B@B squaring; in exchange the whole chunk is ONE
-    compact loop body, which shrank the compiled executable ~4.5x (160 MB
-    unrolled -> 36 MB) — executables ship through the tunnel on first
-    dispatch of each process, and that load was measured at minutes on
-    degraded windows.
+    P is the (block, block) 0/1 shift matrix for the pass width w (column c
+    -> c + w for c < w, everything else zeroed), so the add lands the
+    product's live columns in S's zero region — exact.  ONE program reused
+    for every pass (P is data, not a static).  The separate B-squaring
+    dispatch reuses the proven-fast `_ext_square_chunk` shape: a combined
+    per-pass body (B@S + shift + B@B in one fori) was measured at 18-48 s
+    per pass against ~4.3 s for its parts dispatched separately — XLA's
+    schedule for the combined loop is pathological on this backend, and
+    splitting it is both faster and gives the chain exactly two compact
+    executables.
     """
     from ..ops.extprec import ext_cmatmul
 
     block = S_re.shape[2]
-    shift = _dbl_shift_matrices(k0, n, block)
-
-    def body(i, carry):
-        s_re, s_im, b_re, b_im = carry
-        p_re, p_im = ext_cmatmul(b_re, b_im, s_re, s_im, panel=min(panel, block))
-        Pk = jax.lax.dynamic_index_in_dim(shift, i, axis=0, keepdims=False)
-        s_re = s_re + _shift_cols(p_re, Pk)
-        s_im = s_im + _shift_cols(p_im, Pk)
-        b_re, b_im = ext_cmatmul(b_re, b_im, b_re, b_im, panel=panel)
-        return s_re, s_im, b_re, b_im
-
-    return jax.lax.fori_loop(0, n, body, (S_re, S_im, B_re, B_im))
+    p_re, p_im = ext_cmatmul(B_re, B_im, S_re, S_im, panel=min(panel, block))
+    return S_re + _shift_cols(p_re, P), S_im + _shift_cols(p_im, P)
 
 
 def _ext_site_obs_fused(S_re, S_im, dims):
@@ -829,14 +812,15 @@ def _ext_preamble_chunked(
     S_im = jnp.zeros((_L, dim, block), jnp.int8).at[:, :, 0].set(
         ext_split_upload(np.ascontiguousarray(psi0.imag))
     )
-    k0 = 0
-    while k0 < log2_block:
-        n = min(_EXT_DBL_CHUNK, log2_block - k0)
-        S_re, S_im, B_re, B_im = _ext_dbl_chunk(
-            S_re, S_im, B_re, B_im, k0, n, pan
+    # alternate the two proven-fast program shapes per pass; dependencies
+    # chain through the dispatch queue, one sync at the end
+    shifts = np.asarray(_dbl_shift_matrices(0, max(log2_block, 1), block))
+    for k in range(log2_block):
+        S_re, S_im = _ext_dbl_seed_step(
+            B_re, B_im, S_re, S_im, jnp.asarray(shifts[k]), pan
         )
-        jax.block_until_ready(S_re)
-        k0 += n
+        B_re, B_im = _ext_square_chunk(B_re, B_im, 1, pan)
+    jax.block_until_ready(S_re)
     _mark(f"doubling({log2_block} passes)", sync=S_re[0, 0, :1])
     return S_re, S_im, B_re, B_im
 
