@@ -249,10 +249,11 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
         ckpt_dir=ckpt_dir,
         # one mid-advance snapshot: each save ships the ~126 MB int8 limb
         # state through the tunnel (~26 s), while the fused advance itself
-        # is ~1 s per 8-block chunk — the round-2 cadence of 8 spent 4x26 s
-        # protecting ~5 s of compute.  A single snapshot still exercises
-        # the resume path for the retry while costing one transfer.
-        ckpt_every_blocks=32,
+        # is ~1 s per chunk — a tight cadence would spend most of the wall
+        # on crash insurance.  20 splits the 40-block trace into two EXACT
+        # 20-block chunks (a cadence of 32 computed 64 blocks and threw 24
+        # away) with one mid-advance snapshot for the retry's resume path.
+        ckpt_every_blocks=20,
     )
     wall = time.perf_counter() - t0
     norm_drift = float(np.abs(rows[6] - 1.0).max())

@@ -172,10 +172,18 @@ def save_ext_advance(
     s_re_flat: np.ndarray,
     s_im_flat: np.ndarray,
 ) -> str:
-    """Atomically persist the ext advance state after ``done_blocks``."""
+    """Atomically persist the ext advance state after ``done_blocks``.
+
+    The tmp name is unique per save (pid + block cursor): saves may run on
+    background threads, and a shared tmp path would let two overlapping
+    saves interleave writes — worse, after one renames tmp->path the other's
+    still-open fd would keep writing into the *installed* snapshot (same
+    inode), corrupting it.  Callers additionally serialize saves
+    (latest-wins), but the unique name makes the write safe regardless.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     path = _ext_advance_path(ckpt_dir)
-    tmp = path + ".tmp.npz"
+    tmp = path + f".tmp.{os.getpid()}.{done_blocks}.npz"
     np.savez(
         tmp,
         fingerprint=json.dumps(fingerprint, sort_keys=True),
@@ -217,7 +225,15 @@ def load_ext_advance(ckpt_dir: str, fingerprint: dict):
 
 
 def clear_ext_advance(ckpt_dir: str) -> None:
+    base = os.path.basename(_ext_advance_path(ckpt_dir))
     try:
-        os.remove(_ext_advance_path(ckpt_dir))
+        names = os.listdir(ckpt_dir)
     except OSError:
-        pass
+        return
+    # also sweep any orphaned per-save tmp files from killed runs
+    for name in names:
+        if name == base or name.startswith(base + ".tmp."):
+            try:
+                os.remove(os.path.join(ckpt_dir, name))
+            except OSError:
+                pass

@@ -15,6 +15,9 @@ Solver dispatch (params.solver_method):
   * "chebyshev" — matrix-free Chebyshev basis sweep (single-chip huge dims:
                no inner products, so it dodges the TPU backend's ~20 ms
                dependent-f64-dot latency and emulated-dot rounding).
+  * "cheb_step" — Chebyshev stepping on the split-matmul apply (MXU-shaped
+               matmuls only; the beyond-dense default: bounded working set
+               for arbitrarily long traces, checkpointable).
   * "dopri"  — adaptive Dormand–Prince (time-dependent Hamiltonians).
   * "auto"   — pick by Hilbert dimension.
 
@@ -32,19 +35,34 @@ from ..models.params import DipolarRareParams
 from .eig_propagator import eigh_host
 from .observables import assemble_traces
 
-_EIG_MAX_DIM = 8192
+_EIG_MAX_DIM = 2048  # host eigh is cheap up to here (seconds on one core)
+_EXT_MAX_DIM = 8192  # dense ext limb chain fits HBM up to here
 
 
 def _auto_method(dim: int) -> str:
     # eig: host eigendecomposition is exact and amortizes over the whole
-    #   trace; on a small host CPU it costs ~minutes at dim 8192 but beats
-    #   every stepping scheme for 30 s horizons (||H||*t ~ 1e8 rad).
+    #   trace; cheap on the host up to ~dim 2048 (zheevd is O(dim^3): ~1 min
+    #   at 2048 on one core, ~48 min at 8192).
+    # ext: the parity-grade exact-limb step-operator chain — the MEASURED
+    #   winner at dim 8192 (N=12): 437-530 s fresh-process end to end vs
+    #   ~3,900 s for eig (host-eigensolve-bound; BASELINE.md rounds 1-3).
+    #   Routing auto here makes the public `simulate_rare` at N=12 run the
+    #   same path bench.py measures.
     # chebyshev: matrix-free beyond dense reach on one chip (krylov remains
     #   the sharded-state engine: its psum inner products shard; Chebyshev's
     #   apply shards too but the single-chip default favors no-dot stepping).
     # expm: opt-in only — square f64 matmuls exceed 16 GB HBM at dim 8192
     #   under the TPU x64 rewriter's limb expansion.
-    return "eig" if dim <= _EIG_MAX_DIM else "chebyshev"
+    # cheb_step: the split-matmul Chebyshev stepper (dynamics/cheb_step.py)
+    #   — MXU-shaped matmuls only, restarted per output interval, bounded
+    #   working set; subsumes both "chebyshev" (global sweep: (T, dim)
+    #   accumulator OOMs long traces) and "krylov" (dependent-dot latency)
+    #   as the beyond-dense single-chip default.
+    if dim <= _EIG_MAX_DIM:
+        return "eig"
+    if dim <= _EXT_MAX_DIM:
+        return "ext"
+    return "cheb_step"
 
 
 def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.ndarray]]:
@@ -128,6 +146,17 @@ def simulate_rare(params: DipolarRareParams) -> tuple[np.ndarray, dict[str, np.n
         from .eig_propagator import traces_dict
 
         rows = chebyshev_traces_assembled(
+            model.hamiltonian, model.psi0, t, dims,
+            model.n_sea_effective, model.idx_rare,
+        )
+        named = traces_dict(rows)
+        named.pop("energy", None)
+        return t, named
+    elif method == "cheb_step":
+        from .cheb_step import chebyshev_step_traces
+        from .eig_propagator import traces_dict
+
+        rows = chebyshev_step_traces(
             model.hamiltonian, model.psi0, t, dims,
             model.n_sea_effective, model.idx_rare,
         )

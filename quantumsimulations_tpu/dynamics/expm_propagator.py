@@ -766,7 +766,7 @@ def _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
 
 
 def _ext_preamble_chunked(
-    Are, Aim, psi0, coeffs, n_sq: int, log2_block: int, pan: int,
+    A_planes: list, psi0, coeffs, n_sq: int, log2_block: int, pan: int,
     dim: int, block: int, _mark,
 ):
     """Chunked-dispatch preamble: the default at dim >= _EXT_CHUNK_DIM.
@@ -777,9 +777,18 @@ def _ext_preamble_chunked(
     TPU worker at dim 8192 (see the QST_EXT_FUSED branch in the caller).
     Bit-identical results (tested at small dims via monkeypatched
     _EXT_CHUNK_DIM).
+
+    ``A_planes`` is a [Are, Aim] list the helper takes OWNERSHIP of (it is
+    cleared on entry): the A limb stacks are ~4 GB at dim 8192 and must be
+    freed the moment the Horner phase finishes — keeping them alive through
+    the squaring/doubling phases raises peak HBM by that much on a 16 GB
+    chip (the explicit free point predates the refactor into this helper).
     """
     from ..ops.extprec import EXT_LIMBS as _L
     from ..ops.extprec import ext_add_identity, ext_split_upload
+
+    Are, Aim = A_planes
+    A_planes.clear()  # the locals here are now the only references
 
     # Horner init: D = A.  Fresh copies — the D buffers are donated
     # through the chunk calls while the A stacks stay live.
@@ -793,6 +802,7 @@ def _ext_preamble_chunked(
         )
         jax.block_until_ready(D_re)
         k -= n_it
+    del Are, Aim  # free ~4 GB before the squaring/doubling phases allocate
     _mark(f"horner({_EXT_DEGREE - 1} matmuls)", sync=D_re[0, 0, :1])
     U_re = ext_add_identity(D_re)
     U_im = D_im
@@ -980,11 +990,12 @@ def expm_traces_assembled_ext(
             jax.block_until_ready(S_re)
             _mark(f"fused preamble ({_EXT_DEGREE - 1}+{n_sq}+{log2_block} matmuls)", sync=S_re[0, 0, :1])
         else:
+            A_planes = [Are, Aim]
+            del Are, Aim  # ownership moves to the helper (freed post-Horner)
             S_re, S_im, B_re, B_im = _ext_preamble_chunked(
-                Are, Aim, psi0, coeffs, n_sq, log2_block, pan, dim, block,
+                A_planes, psi0, coeffs, n_sq, log2_block, pan, dim, block,
                 _mark,
             )
-            del Are, Aim
         if _os.environ.get("QST_EXT_CANON") == "1":
             canon = jax.jit(lambda x: x.reshape(-1).reshape(x.shape))
             B_re, B_im = canon(B_re), canon(B_im)
@@ -1039,21 +1050,48 @@ def expm_traces_assembled_ext(
     # 8192), while an advance chunk itself is ~1 s — a synchronous save
     # would spend most of the advance wall on crash insurance.  The thread
     # holds its own flattened device arrays (the main loop rebinding S_re
-    # cannot invalidate them) and the NPZ write stays atomic (tmp+rename),
-    # so a kill mid-save leaves the previous snapshot intact.
+    # cannot invalidate them) and the NPZ write stays atomic (unique tmp +
+    # rename), so a kill mid-save leaves the previous snapshot intact.
+    # Saves are SERIALIZED latest-wins: saves take far longer than a chunk,
+    # so overlapping threads would pile up transfers; if the previous save
+    # is still in flight this snapshot is skipped (the next cadence point
+    # carries strictly more progress anyway).
     import threading as _threading
 
-    ckpt_threads: list = []
+    ckpt_state: dict = {"thread": None, "error": None}
 
     def _save_async(done_now, flats_now, fr, fi):
+        prev = ckpt_state["thread"]
+        if prev is not None and prev.is_alive():
+            return  # latest-wins: skip while the previous save still ships
+
         def _run():
-            save_ext_advance(
-                ckpt_dir, ckpt_fp, done_now, flats_now,
-                np.asarray(fr), np.asarray(fi),
-            )
+            try:
+                save_ext_advance(
+                    ckpt_dir, ckpt_fp, done_now, flats_now,
+                    np.asarray(fr), np.asarray(fi),
+                )
+            except Exception as exc:  # surfaced at join, not swallowed
+                ckpt_state["error"] = exc
+
         th = _threading.Thread(target=_run, daemon=True)
         th.start()
-        ckpt_threads.append(th)
+        ckpt_state["thread"] = th
+
+    def _join_saves():
+        th = ckpt_state["thread"]
+        if th is not None:
+            th.join()
+        if ckpt_state["error"] is not None:
+            import sys as _sys
+
+            # a failed snapshot must not kill a succeeding solve: warn loudly
+            print(
+                "[ext-ckpt] WARNING: checkpoint save failed: "
+                f"{ckpt_state['error']!r}",
+                file=_sys.stderr, flush=True,
+            )
+            ckpt_state["error"] = None
 
     while done < n_blocks:
         if fused_obs:
@@ -1086,15 +1124,14 @@ def expm_traces_assembled_ext(
             if _timing:
                 _mark("  ckpt save (async)")
             if abort_after and chunks_run >= abort_after:
-                for th in ckpt_threads:  # the abort hook tests resume: the
-                    th.join()  # snapshot must be on disk before we raise
+                _join_saves()  # the abort hook tests resume: the snapshot
+                # must be on disk before we raise
                 raise RuntimeError(
                     f"aborted after {chunks_run} advance chunks "
                     "(QST_EXT_ABORT_AFTER_CHUNKS)"
                 )
     if ckpt_dir:
-        for th in ckpt_threads:
-            th.join()
+        _join_saves()
         clear_ext_advance(ckpt_dir)
     _mark(f"advance({n_blocks} blocks)")
     arr = np.concatenate(flats).reshape(done, 8, block)[:n_blocks]

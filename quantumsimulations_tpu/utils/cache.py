@@ -35,7 +35,11 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
         path = env
     if path is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        if os.path.isdir(os.path.join(pkg_root, ".git")):
+        # .git is a FILE in worktrees/submodules; what matters anyway is
+        # whether the shipped cache directory is present
+        if os.path.exists(os.path.join(pkg_root, ".git")) or os.path.isdir(
+            os.path.join(pkg_root, ".jax_cache")
+        ):
             path = os.path.join(pkg_root, ".jax_cache")
         else:
             path = os.path.join(os.path.expanduser("~"), ".cache", "quantumsimulations_tpu")

@@ -230,3 +230,17 @@ def test_chebyshev_matches_eig(reference_solution):
     assert _np.allclose(rows[0], sea[0], atol=1e-10)
     assert _np.allclose(rows[2], sea[2], atol=1e-10)
     assert _np.allclose(rows[6], 1.0, atol=1e-11)
+
+
+def test_auto_method_dispatch():
+    """auto routes each Hilbert size to the measured winner (VERDICT r3 #2):
+    eig while the host eigensolve is cheap, the benched parity-grade ext
+    chain at dense dims (N=12 measured 437-530 s vs ~3,900 s for eig,
+    BASELINE.md), matrix-free chebyshev beyond dense reach."""
+    from quantumsimulations_tpu.dynamics.evolve import _auto_method
+
+    assert _auto_method(128) == "eig"
+    assert _auto_method(2048) == "eig"
+    assert _auto_method(4096) == "ext"
+    assert _auto_method(8192) == "ext"
+    assert _auto_method(16384) == "cheb_step"
