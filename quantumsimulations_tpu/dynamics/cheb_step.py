@@ -1,0 +1,246 @@
+"""Chebyshev STEPPING propagator on the split-matmul apply — the measured
+beyond-dense-reach engine (N >= 13 sea spins, Hilbert dim >= 16384).
+
+Per output interval dt the new state is one truncated Chebyshev expansion
+
+    psi(t + dt) = sum_{k<K} c_k(lambda dt) T_k(H / lambda) psi(t),
+    c_k(x) = (2 - delta_k0) (-i)^k J_k(x)
+
+evaluated by the three-term recurrence with the accumulator folded in, so a
+full trace is T restarted sweeps of K ~ lambda*dt terms each.  Restarting
+per step (vs the single global sweep in chebyshev.py) keeps the working set
+at four (DL, DR) planes regardless of T — the global sweep's (T, dim)
+accumulator is ~5 GB at dim 16384 / T 20000 — at a ~6% term overhead
+(the Bessel tail margin per restart).
+
+The hot op is the split-matmul apply (ops/split_apply.py): every Chebyshev
+term is ~10 small dense MXU matmuls, no inner products (the TPU backend's
+dependent-f64-dot latency and emulated-dot rounding never enter), no
+lane/sublane shuffles (the flip apply measured 139 applies/s at dim 16384;
+this form is MXU-bound).
+
+Structured like the ext advance (expm_propagator.py): a matmul-only scan
+advances ``steps_per_dispatch`` output steps per device program while
+stacking each step's state planes; one batched observable program per
+dispatch turns the stack into assembled rows.  Dispatches are bounded for
+the session watchdog, and each dispatch boundary checkpoints the exact
+(psi, rows) so multi-hour traces resume losslessly (same NPZ scheme as the
+ext chain, engine-tagged).
+
+Replaces qt.sesolve (reference: dipolar_ensemble_with_rare.py:653-666) at
+bath sizes beyond QuTiP/dense reach: SURVEY.md §5 "long-context" slot.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import Cplx
+from ..ops.embed import OperatorSum
+from ..ops.split_apply import make_split_apply
+from .chebyshev import chebyshev_coefficients
+from .observables import site_xyz_expectations, state_norms
+
+
+def _lambda_bound(H: OperatorSum, dim: int) -> float:
+    """Spectral bound for the Chebyshev scaling: min(triangle bound, inflated
+    host power iteration).  The triangle bound is guaranteed but loose
+    (~1.3x on the dipolar model — K, and therefore the wall, scales with
+    lambda); the power iteration converges from below, so it is inflated 5%
+    and the propagator's norm-drift output is the runtime guard (a lambda
+    below the true norm diverges visibly within one dispatch)."""
+    from .krylov import spectral_norm_bound
+
+    bound = spectral_norm_bound(H)
+    if dim >= 512:
+        import scipy.sparse as sparse
+
+        from .expm_propagator import _spectral_norm_host
+
+        r, c, v = H.to_coo()
+        Hs = sparse.csr_matrix((v, (r, c)), shape=(dim, dim))
+        est = _spectral_norm_host(Hs, iters=60)  # includes the 5% inflation
+        return float(min(bound, est))
+    return float(bound)
+
+
+def _make_step_scan(apply_ht, DL: int, DR: int, K: int):
+    """One device program: advance n_steps output steps, stacking each
+    pre-advance state.  apply_ht computes (H / lambda) @ psi (the 1/lambda
+    is folded into the matrices)."""
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run(p_re, p_im, c_re, c_im, n_steps: int):
+        def step(carry, _):
+            pr, pi = carry
+
+            # seed: T_0 = psi, T_1 = Ht psi
+            h = apply_ht(Cplx(pr, pi))
+            acc_re = c_re[0] * pr - c_im[0] * pi + c_re[1] * h.re - c_im[1] * h.im
+            acc_im = c_re[0] * pi + c_im[0] * pr + c_re[1] * h.im + c_im[1] * h.re
+
+            def term(k, st):
+                pp_re, pp_im, pc_re, pc_im, a_re, a_im = st
+                hh = apply_ht(Cplx(pc_re, pc_im))
+                n_re = 2.0 * hh.re - pp_re
+                n_im = 2.0 * hh.im - pp_im
+                cr = c_re[k]
+                ci = c_im[k]
+                a_re = a_re + cr * n_re - ci * n_im
+                a_im = a_im + cr * n_im + ci * n_re
+                return pc_re, pc_im, n_re, n_im, a_re, a_im
+
+            _, _, _, _, a_re, a_im = jax.lax.fori_loop(
+                2, K, term, (pr, pi, h.re, h.im, acc_re, acc_im)
+            )
+            return (a_re, a_im), (pr, pi)
+
+        (p_re, p_im), (st_re, st_im) = jax.lax.scan(
+            step, (p_re, p_im), None, length=n_steps
+        )
+        return p_re, p_im, st_re, st_im  # stacks: (n_steps, DL, DR)
+
+    return run
+
+
+@partial(jax.jit, static_argnames=("dims", "idx_rare"))
+def _rows_of_stack(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
+    """(n_steps, DL, DR) state stacks -> flat assembled rows (n_steps*8,)
+    in chronological column order (TRACE_ROWS layout per step)."""
+    ns = st_re.shape[0]
+    S = Cplx(
+        jnp.moveaxis(st_re.reshape(ns, -1), 0, 1),
+        jnp.moveaxis(st_im.reshape(ns, -1), 0, 1),
+    )  # (dim, n_steps)
+    xyz = site_xyz_expectations(S, dims)
+    norms = state_norms(S)
+    sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+    rare = xyz[idx_rare]
+    rows = jnp.stack(
+        [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
+         jnp.full(norms.shape, e0)]
+    )  # (8, n_steps)
+    return rows.T.reshape(-1)
+
+
+def chebyshev_step_traces(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    split: int | None = None,
+    norm_bound: float | None = None,
+    steps_per_dispatch: int | None = None,
+    ckpt_dir: str | None = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Assembled rows (8, T), TRACE_ROWS layout — same contract as
+    eig_traces_assembled_batched / expm_traces_assembled_ext.
+
+    ``steps_per_dispatch`` bounds each device program's duration (env
+    override QST_CHEB_STEPS_PER_DISPATCH); with ``ckpt_dir`` set, the exact
+    state + computed rows are snapshotted at every dispatch boundary and a
+    rerun with the same arguments resumes bit-identically.
+    """
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("chebyshev stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+    dim = int(np.prod(dims))
+
+    lam = float(norm_bound) if norm_bound is not None else _lambda_bound(H, dim)
+    # coefficient row for ONE step; K ~ lam*dt + Bessel tail margin
+    C = chebyshev_coefficients(lam, np.asarray([dt]))[0] if dt > 0.0 else np.ones(1)
+    K = max(2, len(C))
+    c_re = np.zeros(K)
+    c_im = np.zeros(K)
+    c_re[: len(C)] = np.real(C)
+    c_im[: len(C)] = np.imag(C)
+
+    apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
+    DL, DR = so.DL, so.DR
+
+    spd = steps_per_dispatch or int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "64"))
+    spd = max(1, min(spd, T))
+
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+    p0 = Cplx(
+        jnp.asarray(np.ascontiguousarray(psi0.real).reshape(DL, DR)),
+        jnp.asarray(np.ascontiguousarray(psi0.imag).reshape(DL, DR)),
+    )
+    h0 = apply_ht(p0)
+    e0 = float(lam * np.asarray(
+        jnp.sum(p0.re * h0.re + p0.im * h0.im)
+    ))  # <H> at t=0, conserved under the (unitary) propagation
+
+    run = _make_step_scan(apply_ht, DL, DR, K)
+    crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
+
+    done = 0
+    flats: list[np.ndarray] = []
+    p_re, p_im = p0.re, p0.im
+
+    ckpt_fp = None
+    if ckpt_dir:
+        from .checkpoint import clear_ext_advance, load_ext_advance, save_ext_advance
+
+        ckpt_fp = {
+            "engine": "cheb-step", "dim": dim, "T": T, "dt": dt,
+            "K": K, "lam": lam, "spd": spd, "e0": e0,
+        }
+        res = load_ext_advance(ckpt_dir, ckpt_fp)
+        if res is not None:
+            done, flats, s_re_h, s_im_h = res
+            p_re = jnp.asarray(np.asarray(s_re_h).reshape(DL, DR))
+            p_im = jnp.asarray(np.asarray(s_im_h).reshape(DL, DR))
+            if progress:
+                print(f"[cheb-step] resume at step {done}/{T}", flush=True)
+
+    abort_after = int(os.environ.get("QST_CHEB_ABORT_AFTER_DISPATCHES", "0"))
+    dispatches = 0
+    t_start = time.perf_counter()
+    while done < T:
+        n = min(spd, T - done)
+        p_re, p_im, st_re, st_im = run(p_re, p_im, crd, cid, n)
+        flat = _rows_of_stack(st_re, st_im, sea_mask, e0, dims, idx_rare)
+        flats.append(np.asarray(flat))  # value fetch = honest sync point
+        del st_re, st_im
+        done += n
+        dispatches += 1
+        if ckpt_dir and done < T:
+            save_ext_advance(
+                ckpt_dir, ckpt_fp, done, flats,
+                np.asarray(p_re).reshape(-1), np.asarray(p_im).reshape(-1),
+            )
+            if abort_after and dispatches >= abort_after:
+                raise RuntimeError(
+                    f"aborted after {dispatches} dispatches "
+                    "(QST_CHEB_ABORT_AFTER_DISPATCHES)"
+                )
+        if progress:
+            el = time.perf_counter() - t_start
+            rate = done / el if el > 0 else 0.0
+            print(
+                f"[cheb-step] {done}/{T} steps ({K} terms/step), "
+                f"{el:.1f}s, {rate:.2f} steps/s",
+                flush=True,
+            )
+    if ckpt_dir:
+        clear_ext_advance(ckpt_dir)
+    rows = np.concatenate(flats).reshape(T, 8).T  # (8, T)
+    return np.ascontiguousarray(rows)

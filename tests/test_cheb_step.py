@@ -1,0 +1,170 @@
+"""Split-matmul apply (ops/split_apply.py) and the Chebyshev stepping
+propagator (dynamics/cheb_step.py): decomposition exactness, apply parity
+with the dense oracle, trace parity with the eig propagator, mid-run
+checkpoint resume, and the evolve-API dispatch.
+
+Reference anchor: these paths replace qt.sesolve
+(dipolar_ensemble_with_rare.py:653-666) beyond dense-operator reach.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from quantumsimulations_tpu.dynamics.cheb_step import chebyshev_step_traces
+from quantumsimulations_tpu.dynamics.eig_propagator import (
+    eig_traces_assembled_batched,
+    eigh_host,
+)
+from quantumsimulations_tpu.models.dipolar import build_model
+from quantumsimulations_tpu.models.params import DipolarRareParams
+from quantumsimulations_tpu.ops.cplx import Cplx
+from quantumsimulations_tpu.ops.split_apply import (
+    default_split,
+    make_split_apply,
+    split_operator,
+)
+
+
+def _params(n_sea=4, *, s32=False, center=True, t_final=2e-3, steps=40):
+    gamma_sea, gamma_rare = 8.1812e7, 6.976e7
+    B0 = 3.0
+    f1A = 50_000.0
+    f_Az = gamma_sea * B0 / (2 * np.pi)
+    return DipolarRareParams(
+        n_sea=n_sea,
+        gamma_sea=gamma_sea,
+        gamma_rare=gamma_rare,
+        B0_sea=B0,
+        B0_rare=B0,
+        B1_sea=2 * np.pi * f1A / gamma_sea,
+        B1_rare=2 * np.pi * f1A / gamma_rare,
+        omega_rf_sea=2 * np.pi * (f_Az - 1000.0),
+        omega_rf_rare=gamma_rare * B0,
+        phi_sea=np.pi / 2,
+        phi_rare=np.pi / 2,
+        dipolar_scale=1e-7 * 1.054571817e-34,
+        shell_scale=0.282393e-9,
+        t_final=t_final,
+        steps=steps,
+        drive_sea=True,
+        drive_rare=True,
+        is_spin_three_half=s32,
+        is_center_rare=center,
+    )
+
+
+CASES = [
+    pytest.param(dict(n_sea=4), id="n4-spinhalf"),
+    pytest.param(dict(n_sea=3, s32=True), id="n3-spin32"),
+    pytest.param(dict(n_sea=4, center=False), id="n4-control-geometry"),
+]
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_split_operator_dense_exact(kw):
+    """The split decomposition reassembles the dense H bit-for-bit (the
+    buckets partition the term set; every plane stays real by i-folding)."""
+    m = build_model(_params(**kw))
+    H = m.hamiltonian
+    so = split_operator(H)
+    assert np.array_equal(so.to_dense(), so.to_dense())
+    np.testing.assert_allclose(
+        so.to_dense(), H.to_dense(), rtol=0.0, atol=1e-12 * np.abs(H.to_dense()).max()
+    )
+    # the dipolar family's cross bucket is real (x-x and y-y pair terms only)
+    assert so.cross_im_L.shape[0] == 0
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_split_apply_matches_dense_matvec(kw):
+    m = build_model(_params(**kw))
+    H = m.hamiltonian
+    Hd = H.to_dense()
+    ap, so = make_split_apply(H, scale=0.25)
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal(so.DL * so.DR) + 1j * rng.standard_normal(so.DL * so.DR)
+    import jax.numpy as jnp
+
+    out = ap(Cplx(jnp.asarray(psi.real.reshape(so.DL, so.DR)),
+                  jnp.asarray(psi.imag.reshape(so.DL, so.DR))))
+    got = (np.asarray(out.re) + 1j * np.asarray(out.im)).reshape(-1)
+    ref = 0.25 * (Hd @ psi)
+    np.testing.assert_allclose(got, ref, rtol=0.0, atol=1e-13 * np.abs(ref).max())
+
+
+def test_default_split_balances():
+    assert default_split((2,) * 14) == 7
+    # mixed dims: 2*2*2*4 = 32 -> split after site 2 gives 8 x 4... the
+    # balanced choice minimizes DL*DR*(DL+DR)
+    s = default_split((2, 2, 2, 4))
+    DL = int(np.prod((2, 2, 2, 4)[:s]))
+    DR = int(np.prod((2, 2, 2, 4)[s:]))
+    assert {DL, DR} == {4, 8}
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_cheb_step_matches_eig(kw):
+    p = _params(**kw)
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    w, V = eigh_host(m.hamiltonian.to_dense())
+    ref = eig_traces_assembled_batched(
+        w[None], V[None], m.psi0[None], t, m.dims,
+        np.asarray([m.n_sea_effective]), m.idx_rare,
+    )[0]
+    rows = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        steps_per_dispatch=16,
+    )
+    np.testing.assert_allclose(rows[:7], ref[:7], rtol=0.0, atol=5e-12)
+    # energy row: the conserved t=0 constant
+    np.testing.assert_allclose(rows[7], ref[7, 0], rtol=1e-9)
+    assert np.abs(rows[6] - 1.0).max() < 1e-12  # norm drift
+
+
+def test_cheb_step_resume_bit_identical(monkeypatch):
+    """Kill after the first dispatch, rerun with the same ckpt_dir: the
+    resumed trace must equal the uninterrupted one EXACTLY (the state
+    round-trips as exact f64 planes; recomputation is deterministic)."""
+    p = _params(n_sea=4)
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    full = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        steps_per_dispatch=16,
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        monkeypatch.setenv("QST_CHEB_ABORT_AFTER_DISPATCHES", "1")
+        with pytest.raises(RuntimeError, match="aborted after 1"):
+            chebyshev_step_traces(
+                m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective,
+                m.idx_rare, steps_per_dispatch=16, ckpt_dir=ck,
+            )
+        monkeypatch.delenv("QST_CHEB_ABORT_AFTER_DISPATCHES")
+        resumed = chebyshev_step_traces(
+            m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective,
+            m.idx_rare, steps_per_dispatch=16, ckpt_dir=ck,
+        )
+    assert np.array_equal(full, resumed)
+
+
+def test_simulate_rare_cheb_step_dispatch():
+    """The public API runs the engine end to end (reference-compatible keys,
+    dipolar_ensemble_with_rare.py:669-680)."""
+    from dataclasses import replace
+
+    from quantumsimulations_tpu.dynamics.evolve import simulate_rare
+
+    p = replace(_params(n_sea=3, steps=12, t_final=5e-4), solver_method="cheb_step")
+    t, traces = simulate_rare(p)
+    assert set(traces) == {
+        "Ix_sea", "Iy_sea", "Iz_sea", "Iz_R", "Ix_R", "Iy_R", "state_norm"
+    }
+    assert len(t) == 12
+    p2 = replace(p, solver_method="eig")
+    _, ref = simulate_rare(p2)
+    for k in traces:
+        np.testing.assert_allclose(traces[k], ref[k], rtol=0.0, atol=5e-12)
