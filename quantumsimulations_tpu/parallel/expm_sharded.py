@@ -310,3 +310,251 @@ def expm_traces_sharded(
     out = jax.jit(run)(A_re, A_im, p_re, p_im)
     arr = np.asarray(out)
     return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]
+
+
+# ===========================================================================
+# Exact-limb ("ext") row-sharded engine — the PARITY-GRADE multi-chip path.
+#
+# The Ozaki-tier engine above re-splits f64 planes around every product, so
+# each matmul rounds at ~5e-16 in the f64 diagonal combine; the ~2^17-deep
+# squaring chain amplifies that to ~5e-6 at dim >= 16384 — below the 1e-8
+# QuTiP-parity bar (reference tolerances: sweep_sea_detuning.py:1247-1250).
+# This engine instead carries every chain operand as canonical FIXED-GRID
+# int8 limb stacks (ops/extprec.py, resolution 2^-65): products land exactly
+# on grid, carry cascades are exact integer ops, and the only error is the
+# final truncation — the same error profile as the single-chip ext chain
+# that measures 1e-10 norm drift at dim 8192 over the full 30 s horizon.
+#
+# Sharding: identical row-sharded layout to the Ozaki engine — (L, rows/P,
+# dim) int8 stacks per device, one tiled all_gather of B's (L, dim, panel)
+# limbs per column panel.  The fixed grid REMOVES the pmax scale negotiation
+# entirely: no collective is needed for operand scaling, and gathered panels
+# are bit-identical to the single-chip operands.
+# ===========================================================================
+
+
+def _ext_sharded_cmatmul(are, aim, bre, bim, axis: str, panel: int, dim: int):
+    """Row-sharded exact complex limb product C = A @ B.
+
+    are/aim: (L, rows_local, dim) canonical int8 ext limbs (this device's
+    rows); bre/bim: same layout.  One tiled all_gather of B's column-panel
+    limbs per panel; the diagonal pyramid + carry cascade are exactly
+    ops/extprec._ext_cpanel_product — same truncation bound as single-chip.
+    """
+    from ..ops.extprec import _ext_cpanel_product
+
+    L, rows_local, _ = are.shape
+    n_panels = dim // panel
+
+    def body(carry, p):
+        c_re, c_im = carry
+        br_p = jax.lax.dynamic_slice_in_dim(bre, p * panel, panel, axis=2)
+        bi_p = jax.lax.dynamic_slice_in_dim(bim, p * panel, panel, axis=2)
+        br_g = jax.lax.all_gather(br_p, axis, axis=1, tiled=True)
+        bi_g = jax.lax.all_gather(bi_p, axis, axis=1, tiled=True)
+        o_re, o_im = _ext_cpanel_product(are, aim, br_g, bi_g, L)
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, o_re, p * panel, axis=2)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, o_im, p * panel, axis=2)
+        return (c_re, c_im), None
+
+    init = (
+        jax.lax.pcast(
+            jnp.zeros((L, rows_local, dim), jnp.int8), (axis,), to="varying"
+        ),
+        jax.lax.pcast(
+            jnp.zeros((L, rows_local, dim), jnp.int8), (axis,), to="varying"
+        ),
+    )
+    (c_re, c_im), _ = jax.lax.scan(body, init, jnp.arange(n_panels))
+    return c_re, c_im
+
+
+def _ext_sharded_apply(are, aim, s_re, s_im, axis: str):
+    """Row-sharded ext B applied to a REPLICATED (L, dim, block) limb state.
+
+    Returns the re-replicated product limb stacks via one tiled all_gather
+    (int8 — a quarter of the f64 bytes the Ozaki engine gathers).
+    """
+    from ..ops.extprec import _ext_cpanel_product
+
+    L = are.shape[0]
+    o_re, o_im = _ext_cpanel_product(are, aim, s_re, s_im, L)
+    n_re = jax.lax.all_gather(o_re, axis, axis=1, tiled=True)
+    n_im = jax.lax.all_gather(o_im, axis, axis=1, tiled=True)
+    return n_re, n_im
+
+
+def expm_traces_sharded_ext(
+    H: OperatorSum,
+    psi0: np.ndarray,
+    times: np.ndarray,
+    dims: tuple[int, ...],
+    n_sea_effective: int,
+    idx_rare: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    block: int = 128,
+    panel: int = 512,
+) -> np.ndarray:
+    """Assembled observable rows (8, T) via the row-sharded EXACT-LIMB chain.
+
+    Same contract as :func:`expm_traces_sharded` but parity-grade: the full
+    Horner/squaring/doubling/advance pipeline runs in the canonical ext limb
+    domain (truncation ~2^-65 per product, zero f64 rounding in the chain),
+    so dim >= 16384 (SURVEY.md §5 long-context slot, BASELINE config 5)
+    reaches the same 1e-8 QuTiP-parity grade the single-chip ext chain
+    measures at dim 8192.  Replaces qt.sesolve
+    (dipolar_ensemble_with_rare.py:653) at bath sizes beyond any single chip.
+    """
+    from ..dynamics.expm_propagator import (
+        _EXT_DEGREE,
+        _EXT_THETA,
+        _dbl_shift_matrices,
+        _shift_cols,
+        _spectral_norm_host,
+    )
+    from ..dynamics.krylov import spectral_norm_bound
+    from ..ops.cplx import Cplx
+    from ..ops.extprec import (
+        EXT_LIMBS,
+        ext_add,
+        ext_split_host,
+        ext_val,
+        taylor_coeff_limbs,
+        _ext_scalar_mul_traced,
+    )
+
+    times = np.asarray(times)
+    T = len(times)
+    if T > 1:
+        dts = np.diff(times)
+        if not np.allclose(dts, dts[0], rtol=1e-9, atol=0.0):
+            raise ValueError("expm stepper requires a uniform time grid")
+        dt = float(dts[0])
+    else:
+        dt = 0.0
+    dim = int(np.prod(dims))
+    n_dev = mesh.shape[axis]
+    if dim % n_dev:
+        raise ValueError(f"dim {dim} not divisible by {n_dev} devices")
+    L = EXT_LIMBS
+    # exact i32 diagonal sums (see ops/extprec.ext_cmatmul)
+    assert dim * 33 * 33 * 2 * L < 2**31, "i32 would overflow in ext pyramid"
+    block = min(block, T)
+    block = 1 << (block.bit_length() - 1)
+    log2_block = int(np.log2(block))
+    n_blocks = int(np.ceil(T / block))
+    panel = min(panel, dim)
+
+    Hd = H.to_dense()
+    e0 = float(np.real(np.vdot(psi0, Hd @ psi0)))
+    norm = min(spectral_norm_bound(H), _spectral_norm_host(Hd))
+    x = norm * abs(dt)
+    n_sq = max(0, int(np.ceil(np.log2(max(x, 1e-30) / _EXT_THETA))))
+    dt_s = dt / (2**n_sq)
+
+    # host split to canonical limbs; A row-sharded (axis 1 of (L, dim, dim))
+    row_sharding = NamedSharding(mesh, P(None, axis, None))
+    A_re = jax.device_put(jnp.asarray(ext_split_host(Hd.imag * dt_s)), row_sharding)
+    A_im = jax.device_put(jnp.asarray(ext_split_host(-Hd.real * dt_s)), row_sharding)
+    del Hd
+    repl = NamedSharding(mesh, P())
+    p_re = jax.device_put(
+        jnp.asarray(ext_split_host(np.ascontiguousarray(psi0.real))), repl
+    )
+    p_im = jax.device_put(
+        jnp.asarray(ext_split_host(np.ascontiguousarray(psi0.imag))), repl
+    )
+    coeffs = jax.device_put(jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE)), repl)
+    shift = jax.device_put(
+        jnp.asarray(_dbl_shift_matrices(0, max(log2_block, 1), block)), repl
+    )
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None), P(), P(), P(), P()),
+        out_specs=P(),
+    )
+    def run(a_re, a_im, p0_re, p0_im, cf, shf):
+        rows_local = a_re.shape[1]
+        my = jax.lax.axis_index(axis)
+
+        # Horner: D <- A + (A @ D) / k, k = degree..2 (exact limb ops)
+        def horner(i, D):
+            d_re, d_im = D
+            t_re, t_im = _ext_sharded_cmatmul(
+                a_re, a_im, d_re, d_im, axis, panel, dim
+            )
+            cl = cf[_EXT_DEGREE - i]
+            t_re = _ext_scalar_mul_traced(t_re, cl)
+            t_im = _ext_scalar_mul_traced(t_im, cl)
+            return ext_add(a_re, t_re), ext_add(a_im, t_im)
+
+        u_re, u_im = jax.lax.fori_loop(0, _EXT_DEGREE - 1, horner, (a_re, a_im))
+
+        # U = I + D: 1.0 sits exactly on limb 0 at this device's row offset
+        row_ids = my * rows_local + jnp.arange(rows_local)
+        eye_local = (row_ids[:, None] == jnp.arange(dim)[None, :]).astype(jnp.int32)
+        u_re = u_re.at[0].set((u_re[0].astype(jnp.int32) + eye_local).astype(jnp.int8))
+
+        def sq(_, UU):
+            return _ext_sharded_cmatmul(
+                UU[0], UU[1], UU[0], UU[1], axis, panel, dim
+            )
+
+        if n_sq > 0:
+            u_re, u_im = jax.lax.fori_loop(0, n_sq, sq, (u_re, u_im))
+
+        # doubling pass on the replicated padded limb seed buffer
+        S_re = jax.lax.pcast(
+            jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p0_re),
+            (axis,), to="varying",
+        )
+        S_im = jax.lax.pcast(
+            jnp.zeros((L, dim, block), jnp.int8).at[:, :, 0].set(p0_im),
+            (axis,), to="varying",
+        )
+
+        def dbl(k, carry):
+            S_re, S_im, b_re, b_im = carry
+            n_re, n_im = _ext_sharded_apply(b_re, b_im, S_re, S_im, axis)
+            Pk = jax.lax.dynamic_index_in_dim(shf, k, axis=0, keepdims=False)
+            # shifted columns land on zero columns: plain int8 add is exact
+            S_re = S_re + _shift_cols(n_re, Pk)
+            S_im = S_im + _shift_cols(n_im, Pk)
+            b_re, b_im = _ext_sharded_cmatmul(
+                b_re, b_im, b_re, b_im, axis, panel, dim
+            )
+            return S_re, S_im, b_re, b_im
+
+        if log2_block > 0:
+            S_re, S_im, u_re, u_im = jax.lax.fori_loop(
+                0, log2_block, dbl, (S_re, S_im, u_re, u_im)
+            )
+
+        # advance: observables from the limb states, then S <- B @ S
+        def adv(S, _):
+            S_re, S_im = S
+            states = Cplx(ext_val(S_re), ext_val(S_im))
+            xyz = site_xyz_expectations(states, dims)
+            norms = state_norms(states)
+            sea = jnp.einsum("j,jot->ot", sea_mask, xyz)
+            rare = xyz[idx_rare]
+            rows = jnp.stack(
+                [sea[0], sea[1], sea[2], rare[2], rare[0], rare[1], norms,
+                 jnp.full(norms.shape, e0)]
+            )
+            n_re, n_im = _ext_sharded_apply(u_re, u_im, S_re, S_im, axis)
+            return (n_re, n_im), rows
+
+        _, rows = jax.lax.scan(adv, (S_re, S_im), None, length=n_blocks)
+        # identical on every device (computed from re-replicated states)
+        return jax.lax.pmax(rows, axis)  # (n_blocks, 8, block)
+
+    out = jax.jit(run)(A_re, A_im, p_re, p_im, coeffs, shift)
+    arr = np.asarray(out)
+    return np.moveaxis(arr, 0, 1).reshape(8, -1)[:, :T]

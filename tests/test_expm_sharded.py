@@ -80,3 +80,57 @@ def test_expm_sharded_long_horizon_and_spin32():
     ref = _eig_rows(model, t)
     assert np.abs(rows[:6] - ref[:6]).max() < 1e-10
     assert np.abs(rows[6] - 1.0).max() < 1e-12
+
+
+@requires_8
+@pytest.mark.parametrize("sp", [4, 8])
+def test_expm_sharded_ext_parity_grade(sp):
+    """The exact-limb sharded chain (VERDICT r3 missing #2): must match the
+    SINGLE-CHIP ext engine to the limb truncation floor and the eig oracle
+    to parity grade — this is what makes BASELINE config 5 (N=14-16) real
+    rather than Ozaki-floored."""
+    from quantumsimulations_tpu.dynamics.expm_propagator import (
+        expm_traces_assembled_ext,
+    )
+    from quantumsimulations_tpu.parallel.expm_sharded import (
+        expm_traces_sharded_ext,
+    )
+
+    params = _params(n_sea=5, t_final=2.0e-4, steps=48)
+    model = build_model(params)
+    t = np.linspace(0.0, params.t_final, params.steps)
+    mesh = make_mesh(sp, sp=sp)
+    rows = expm_traces_sharded_ext(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, mesh=mesh, block=32, panel=16,
+    )
+    ref_ext = expm_traces_assembled_ext(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, block=32, panel=16,
+    )
+    # same exact-integer chain, different partitioning: only the observable
+    # recombination differs (full ext_val vs the q-diagonal limb obs)
+    assert np.abs(rows[:7] - ref_ext[:7]).max() < 1e-12
+    ref = _eig_rows(model, t)
+    assert np.abs(rows[:6] - ref[:6]).max() < 1e-10
+    assert np.abs(rows[6] - 1.0).max() < 1e-12
+    assert np.allclose(rows[7], rows[7][0])
+
+
+@requires_8
+def test_expm_sharded_ext_spin32():
+    params = _params(n_sea=4, t_final=1.0e-3, steps=40, is_spin_three_half=True)
+    model = build_model(params)
+    t = np.linspace(0.0, params.t_final, params.steps)
+    mesh = make_mesh(4, sp=4)
+    from quantumsimulations_tpu.parallel.expm_sharded import (
+        expm_traces_sharded_ext,
+    )
+
+    rows = expm_traces_sharded_ext(
+        model.hamiltonian, model.psi0, t, model.dims,
+        model.n_sea_effective, model.idx_rare, mesh=mesh, block=16, panel=16,
+    )
+    ref = _eig_rows(model, t)
+    assert np.abs(rows[:6] - ref[:6]).max() < 1e-10
+    assert np.abs(rows[6] - 1.0).max() < 1e-12
