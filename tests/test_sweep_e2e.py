@@ -211,11 +211,13 @@ def test_resume_skips_existing(sweep_dir, capsys):
         assert len(json.load(f)["sweep_results"]) == 3
 
 
-def test_sweep_spin32_mixed_dims(tmp_path):
-    """Spin-3/2 rare: center variants have a dim-4 rare site while the
-    sea-center control is all-qubit — the runner must batch the two Hilbert
-    dims separately."""
-    base = run_sweep_sea_detuning(
+@pytest.fixture(scope="module")
+def spin32_dir(tmp_path_factory):
+    """Full sweep with is_spin_three_half=True — the mode the reference's own
+    spin-3/2 path cannot run self-consistently (SURVEY.md §2.1 latent
+    inconsistency note; dipolar_ensemble_with_rare.py:486-501)."""
+    root = tmp_path_factory.mktemp("sweep_spin32")
+    return run_sweep_sea_detuning(
         f_Az=F_AZ,
         f1A=F1A,
         target_sea_detuning=F1A,
@@ -225,11 +227,18 @@ def test_sweep_spin32_mixed_dims(tmp_path):
         n_sea=4,
         t_final=0.01,
         steps=300,
-        out_root=str(tmp_path),
+        out_root=str(root),
         is_spin_three_half=True,
         coarse_window=10,
         make_plots=False,
     )
+
+
+def test_sweep_spin32_mixed_dims(spin32_dir):
+    """Spin-3/2 rare: center variants have a dim-4 rare site while the
+    sea-center control is all-qubit — the runner must batch the two Hilbert
+    dims separately."""
+    base = spin32_dir
     import numpy as np
 
     for tag, dim_expect, iz_r0 in (
@@ -243,6 +252,46 @@ def test_sweep_spin32_mixed_dims(tmp_path):
         rows = json.load(f)["sweep_results"]
     assert len(rows) == 2
     assert all(np.isfinite(r["I_z_slope_on_center"]) for r in rows)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_reference_reprocessor_on_spin32_sweep(spin32_dir, tmp_path):
+    """VERDICT r3 weak #5: the spin-3/2 mode must survive the FULL chain —
+    runner -> artifact tree -> the reference's reprocess_sweep_results.py
+    running UNCHANGED on the output (metric parity with our reprocessor)."""
+    from test_reprocess_e2e import _QUTIP_STUB
+
+    from quantumsimulations_tpu.sweep.reprocess import reprocess_sweep
+
+    ours = reprocess_sweep(spin32_dir, coarse_window=15, make_plots=False)
+    with open(ours) as f:
+        ours_rows = json.load(f)["sweep_results"]
+
+    stub_dir = tmp_path / "stub"
+    stub_dir.mkdir()
+    (stub_dir / "qutip.py").write_text(_QUTIP_STUB)
+    env = dict(
+        os.environ,
+        MPLBACKEND="Agg",
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=f"{stub_dir}{os.pathsep}{REFERENCE}",
+    )
+    code = (
+        "import reprocess_sweep_results as r; "
+        f"r.reprocess_sweep({str(spin32_dir)!r}, window=15)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(os.path.join(spin32_dir, "summary_reprocessed_win15.json")) as f:
+        ref_rows = json.load(f)["sweep_results"]
+    assert len(ref_rows) == len(ours_rows) == 2
+    for a, b in zip(ours_rows, ref_rows):
+        for k in ("I_z_slope_on_center", "I_z_slope_off_center",
+                  "contrast_rare_center", "delta_Hz"):
+            assert np.isclose(a[k], b[k], rtol=1e-12, atol=1e-15), (k, a[k], b[k])
 
 
 @pytest.mark.parametrize("method", ["krylov", "dopri", "expm"])
