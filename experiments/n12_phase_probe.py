@@ -64,14 +64,12 @@ def main() -> None:
     print("[extraction] ext_split_upload_coo_pair (scatter + limb extract):",
           flush=True)
     Are, Aim = timed("first", XP.ext_split_upload_coo_pair, r, c, v, w, dim)
-    Are2, Aim2 = timed("warm (perturbed)", XP.ext_split_upload_coo_pair,
-                       r, c, v * (1 + 1e-9), w * (1 + 1e-9), dim)
-    del Are2, Aim2
+    Dre, Dim = timed("warm (perturbed)", XP.ext_split_upload_coo_pair,
+                     r, c, v * (1 + 1e-9), w * (1 + 1e-9), dim)
 
     coeffs = jnp.asarray(XP.taylor_coeff_limbs(EP._EXT_DEGREE))
 
     print("[horner] _ext_horner_chunk (one iteration):", flush=True)
-    Dre, Dim = Are, Aim
     o = timed("first", EP._ext_horner_chunk, Are, Aim, Dre, Dim, coeffs,
               EP._EXT_DEGREE, 1, panel)
     o = timed("warm", EP._ext_horner_chunk, Are, Aim, o[0], o[1], coeffs,

@@ -171,7 +171,9 @@ def chebyshev_states(
             jnp.asarray(C_im[:, done : done + n_terms]),
             n_blocks,
         )
-        jax.block_until_ready(acc_re)
+        from ..utils.profiling import fetch_sync
+
+        fetch_sync(acc_re)  # completion, not dispatch acceptance
         done += n_terms
     return np.asarray(acc_re) + 1j * np.asarray(acc_im)
 

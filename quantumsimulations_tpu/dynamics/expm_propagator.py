@@ -528,12 +528,15 @@ _EXT_CHUNK_DIM = 4096  # use chunked dispatches at/above this dim
 # Chunk sizes trade dispatch overhead (~5-7 s of relay round-trip + cache
 # lookup per dispatch on the tunnel) against the tunnel's kill threshold for
 # long device programs (several minutes).  int8 matmuls run ~2.6 s each at
-# dim 8192, so these sizes keep every dispatch well under a minute.
-_EXT_HORNER_CHUNK = 9  # Horner iterations per dispatch (one program/dispatch
-#   for the degree-10 production chain; body is a fori, so exe size does not
-#   grow with the count)
-_EXT_SQ_CHUNK = 8  # squarings per dispatch (16 = 8 + 8: one cached program,
-#   two ~20 s dispatches — well under the tunnel's multi-minute kill window)
+# dim 8192.  Round 4 set both chunk sizes to 1: per-dispatch cost is the
+# same warm (~2.1-2.6 s fetch-synced either way), but n=1 means the WHOLE
+# chain uses exactly one horner executable and one squaring executable
+# (shared with the doubling pass) — and the first dispatch of each cached
+# program costs 40-260 s of executable load on this backend
+# (docs/ROUND4.md), so fewer distinct programs + the concurrent prefetch
+# below is what the N=12 wall is made of.
+_EXT_HORNER_CHUNK = 1  # Horner iterations per dispatch
+_EXT_SQ_CHUNK = 1  # squarings per dispatch (same executable as doubling's)
 # (doubling runs as per-pass seed-step + single-squaring dispatches — see
 # _ext_dbl_seed_step for why a combined per-pass loop body is pathological)
 _EXT_ADV_CHUNK = 64  # advance blocks per dispatch (cheap; bounded anyway)
@@ -610,6 +613,64 @@ def _ext_square_chunk(U_re, U_im, n: int, panel: int):
         return ext_cmatmul(ur, ui, ur, ui, panel=panel)
 
     return jax.lax.fori_loop(0, n, body, (U_re, U_im))
+
+
+@partial(jax.jit, static_argnames=("panel",), donate_argnums=(2, 3))
+def _ext_chain_step(are, aim, d_re, d_im, cl, unit, add_a, panel: int):
+    """ONE executable for every square-matrix step of the ext chain.
+
+    Computes, per column panel p of D (exact limb ops throughout):
+
+        P   = A @ D[:, :, p]                    (diagonal pyramid + carry)
+        P'  = P                 if unit > 0     (squaring: D is a copy of A)
+              P * cl            otherwise       (Horner: cl = limbs of 1/k)
+        OUT = P' + add_a * A[:, :, p]           (A-panel add for Horner)
+
+    ``cl``/``unit``/``add_a`` are DATA, so one cached executable serves both
+    the degree-10 Horner recursion and all scaling/doubling squarings —
+    on this backend each DISTINCT program pays 40-110 s of executable load
+    at its first dispatch per process (cache hit or not, docs/ROUND4.md),
+    so the chain's program count is the wall.  Values are bit-identical to
+    the separate `_ext_horner_chunk` / `_ext_square_chunk` programs (same
+    panel product, same carry cascades, tested).
+    """
+    from ..ops.extprec import (
+        _ext_cpanel_product,
+        _ext_scalar_mul_traced,
+        ext_add,
+    )
+
+    L, M, N = are.shape
+    panel = min(panel, N)
+    n_panels = N // panel
+
+    def panel_body(carry, p):
+        c_re, c_im = carry
+        dp_re = jax.lax.dynamic_slice_in_dim(c_re, p * panel, panel, axis=2)
+        dp_im = jax.lax.dynamic_slice_in_dim(c_im, p * panel, panel, axis=2)
+        ap_re = jax.lax.dynamic_slice_in_dim(are, p * panel, panel, axis=2)
+        ap_im = jax.lax.dynamic_slice_in_dim(aim, p * panel, panel, axis=2)
+        pr, pi = _ext_cpanel_product(are, aim, dp_re, dp_im, L)
+        pr, pi = jax.lax.cond(
+            unit > 0.0,
+            lambda o: o,
+            lambda o: (
+                _ext_scalar_mul_traced(o[0], cl),
+                _ext_scalar_mul_traced(o[1], cl),
+            ),
+            (pr, pi),
+        )
+        # add_a is 0 or 1: int8 mask-add is exact and canonical-preserving
+        # (ext_add re-canonicalizes)
+        am = add_a.astype(jnp.int8)
+        pr = ext_add(ap_re * am, pr)
+        pi = ext_add(ap_im * am, pi)
+        c_re = jax.lax.dynamic_update_slice_in_dim(c_re, pr, p * panel, axis=2)
+        c_im = jax.lax.dynamic_update_slice_in_dim(c_im, pi, p * panel, axis=2)
+        return (c_re, c_im), None
+
+    (d_re, d_im), _ = jax.lax.scan(panel_body, (d_re, d_im), jnp.arange(n_panels))
+    return d_re, d_im
 
 
 def _dbl_shift_matrices(k0: int, n: int, block: int) -> jnp.ndarray:
@@ -765,6 +826,87 @@ def _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
     return rows.reshape(8, nb, blk).transpose(1, 0, 2).reshape(-1)
 
 
+def _prefetch_ext_executables(
+    dim: int, block: int, pan: int, adv_chunk: int,
+    dims: tuple, idx_rare: int, fused_obs: bool, n_sea_effective: int,
+) -> list:
+    """Load every chunked-chain executable CONCURRENTLY on garbage inputs.
+
+    On this backend the first dispatch of each (persistently cached!)
+    program blocks the calling thread 40-260 s while the executable
+    deserializes/ships to the device — and AOT ``.lower().compile()`` does
+    NOT warm the normal call path (measured: compile 6 s, first call still
+    189 s).  The loads DO overlap when issued from separate threads
+    (measured: 5 programs in ~42 s vs ~211 s serial), so this fires one
+    thread per chain program on freshly allocated zero inputs at the REAL
+    shapes/static-args.  With the n=1 chunk sizes the garbage compute is
+    ~8 s total.  The caller does not join: the chain's real first call of
+    each program blocks on jit's per-signature lock until its load is done.
+
+    Returns the threads (join for deterministic teardown in tests).
+    """
+    import threading
+
+    from ..ops.extprec import EXT_LIMBS as _L
+    from ..ops.extprec import taylor_coeff_limbs
+
+    def _sync(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+    # shared READ-ONLY stand-in for A/B operands (never donated as such)
+    Z_re = jnp.zeros((_L, dim, dim), jnp.int8)
+    Z_im = jnp.zeros((_L, dim, dim), jnp.int8)
+    coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
+    sea_mask = jnp.asarray(
+        (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
+    )
+
+    def t_horner():
+        d_re = jnp.zeros((_L, dim, dim), jnp.int8)  # donated
+        d_im = jnp.zeros((_L, dim, dim), jnp.int8)
+        _sync(_ext_horner_chunk(
+            Z_re, Z_im, d_re, d_im, coeffs, jnp.asarray(_EXT_DEGREE),
+            _EXT_HORNER_CHUNK, pan,
+        ))
+
+    def t_square():
+        u_re = jnp.zeros((_L, dim, dim), jnp.int8)  # donated
+        u_im = jnp.zeros((_L, dim, dim), jnp.int8)
+        _sync(_ext_square_chunk(u_re, u_im, _EXT_SQ_CHUNK, pan))
+
+    def t_dbl():
+        s_re = jnp.zeros((_L, dim, block), jnp.int8)  # donated
+        s_im = jnp.zeros((_L, dim, block), jnp.int8)
+        P0 = _dbl_shift_matrices(0, 1, block)[0]
+        _sync(_ext_dbl_seed_step(Z_re, Z_im, s_re, s_im, P0, pan))
+
+    def t_advance():
+        s_re = jnp.zeros((_L, dim, block), jnp.int8)
+        s_im = jnp.zeros((_L, dim, block), jnp.int8)
+        if fused_obs:
+            st_re, st_im, o_re, o_im = _ext_advance_collect(
+                Z_re, Z_im, s_re, s_im, adv_chunk
+            )
+            del o_re, o_im
+            _sync(_ext_rows_fused(
+                st_re, st_im, sea_mask, jnp.asarray(0.0), dims, idx_rare
+            ))
+        else:
+            _sync(_ext_advance_scan(
+                Z_re, Z_im, s_re, s_im, sea_mask, jnp.asarray(0.0),
+                adv_chunk, dims, idx_rare, fused_obs=False,
+            ))
+
+    threads = [
+        threading.Thread(target=t, daemon=True, name=f"ext-prefetch-{t.__name__}")
+        for t in (t_horner, t_square, t_dbl, t_advance)
+    ]
+    for th in threads:
+        th.start()
+    return threads
+
+
 def _ext_preamble_chunked(
     A_planes: list, psi0, coeffs, n_sq: int, log2_block: int, pan: int,
     dim: int, block: int, _mark,
@@ -902,6 +1044,26 @@ def expm_traces_assembled_ext(
         print(f"[ext-timing] {label}: {now - _t0:.1f}s", flush=True)
         _t0 = now
 
+    # advance-phase config, needed early for the executable prefetch
+    if fused_obs is None:
+        fused_obs = all(d == 2 for d in dims) and block % 128 == 0
+    elif fused_obs and not (all(d == 2 for d in dims) and block % 128 == 0):
+        raise ValueError(
+            "fused_obs=True needs all-spin-1/2 dims and block % 128 == 0"
+        )
+    adv_chunk = min(_EXT_ADV_CHUNK, n_blocks)
+    if ckpt_dir:
+        adv_chunk = min(adv_chunk, max(1, ckpt_every_blocks))
+
+    pan = min(panel, dim)
+    prefetch_threads = []
+    if dim >= _EXT_CHUNK_DIM and _os.environ.get("QST_EXT_PREFETCH", "1") == "1":
+        prefetch_threads = _prefetch_ext_executables(
+            dim, block, pan, adv_chunk, dims, idx_rare, fused_obs,
+            n_sea_effective,
+        )
+        _mark("prefetch launched (loads overlap the host phase + chain)")
+
     if dim >= _EXT_CHUNK_DIM:
         # Sparse host assembly: the dipolar H is ~1% dense, so the COO
         # triplet (to_coo, bit-identical values to to_dense) feeds e0, the
@@ -933,7 +1095,6 @@ def expm_traces_assembled_ext(
 
     coeffs = jnp.asarray(taylor_coeff_limbs(_EXT_DEGREE))
     log2_block = int(np.log2(block))
-    pan = min(panel, dim)
 
     from ..ops.extprec import ext_split_upload
 
@@ -959,13 +1120,27 @@ def expm_traces_assembled_ext(
         # (ops/extprec.py::ext_split_upload_coo_pair).  Replaces the dense
         # 1.6 GB plane upload (163 s observed on a degraded tunnel) and the
         # older ~2L-pass host f64 split (docs/ROUND2.md handoff item 3).
-        from ..ops.extprec import ext_split_upload_coo_pair
-
-        Are, Aim = ext_split_upload_coo_pair(
-            coo_r, coo_c, coo_v.imag * dt_s, -coo_v.real * dt_s, dim
+        from ..ops.extprec import (
+            ext_split_upload_coo_pair,
+            ext_split_upload_coo_pair_host,
         )
-        jax.block_until_ready(Aim)
-        _mark("split(coo-f32-triple)+upload", sync=Aim[0, 0, :1])
+
+        hostlimb = _os.environ.get("QST_EXT_HOSTLIMB", "1") == "1"
+        if hostlimb:
+            # host canonical split + trivial scatter program: the device f32
+            # extraction executable is the slowest LOAD of the chain
+            # (134-258 s at first dispatch, every fresh process)
+            Are, Aim = ext_split_upload_coo_pair_host(
+                coo_r, coo_c, coo_v.imag * dt_s, -coo_v.real * dt_s, dim
+            )
+            jax.block_until_ready(Aim)
+            _mark("split(host-limb)+scatter", sync=Aim[0, 0, :1])
+        else:
+            Are, Aim = ext_split_upload_coo_pair(
+                coo_r, coo_c, coo_v.imag * dt_s, -coo_v.real * dt_s, dim
+            )
+            jax.block_until_ready(Aim)
+            _mark("split(coo-f32-triple)+upload", sync=Aim[0, 0, :1])
         if _os.environ.get("QST_EXT_FUSED") == "1":
             # ONE device program for the whole horner/squaring/doubling
             # preamble.  In principle the right shape — the fetch-synced
@@ -1005,17 +1180,9 @@ def expm_traces_assembled_ext(
 
     # advance in bounded chunks of blocks; the padded tail blocks (if any)
     # are computed and dropped — one compiled shape, negligible extra work.
-    # The fused Pallas observable kernel needs all-spin-1/2 dims and
-    # 128-lane-aligned blocks; otherwise fall back to the jnp reduction.
-    # fused_obs=None auto-selects; an explicit False forces the jnp path
-    # (tests compare the two bit-for-bit at the same block size).
-    if fused_obs is None:
-        fused_obs = all(d == 2 for d in dims) and block % 128 == 0
-    elif fused_obs and not (all(d == 2 for d in dims) and block % 128 == 0):
-        raise ValueError(
-            "fused_obs=True needs all-spin-1/2 dims and block % 128 == 0"
-        )
-    adv_chunk = min(_EXT_ADV_CHUNK, n_blocks)
+    # fused_obs (the Pallas observable kernel vs the jnp reduction) and
+    # adv_chunk (dispatch bound = snapshot cadence) were resolved above,
+    # before the executable prefetch.
     flats = []
     done = 0
 
@@ -1023,13 +1190,14 @@ def expm_traces_assembled_ext(
     if ckpt_dir:
         from .checkpoint import clear_ext_advance, load_ext_advance, save_ext_advance
 
-        # bound each dispatch by the snapshot cadence so a kill loses at
-        # most ckpt_every_blocks blocks of work
-        adv_chunk = min(adv_chunk, max(1, ckpt_every_blocks))
         ckpt_fp = {
             "engine": "ext", "dim": dim, "T": T, "block": block,
             "n_blocks": n_blocks, "dt": dt, "e0": float(np.asarray(e0)),
             "adv_chunk": adv_chunk, "fused_obs": bool(fused_obs),
+            # limb-split variant: both are exact, but canonical limb STATES
+            # can differ on ties — a resume must not mix them
+            "hostlimb": dim >= _EXT_CHUNK_DIM
+            and _os.environ.get("QST_EXT_HOSTLIMB", "1") == "1",
         }
         res = load_ext_advance(ckpt_dir, ckpt_fp)
         if res is not None:

@@ -389,7 +389,9 @@ def krylov_traces_assembled(
         while remaining > 0:
             k = int(min(sub_budget, remaining))
             psi = sub_jit(psi, k)
-            jax.block_until_ready(psi.re)
+            from ..utils.profiling import fetch_sync
+
+            fetch_sync(psi.re)  # completion, not dispatch acceptance
             remaining -= k
     return rows
 

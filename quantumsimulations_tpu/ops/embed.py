@@ -252,8 +252,11 @@ class OperatorSum:
             out_re = jax.lax.dynamic_update_slice(out_re, b.re, (0, s))
             out_im = jax.lax.dynamic_update_slice(out_im, b.im, (0, s))
             # serialize: queued async blocks would hold their temporaries
-            # simultaneously on a memory-tight chip
-            jax.block_until_ready(out_re)
+            # simultaneously on a memory-tight chip (value fetch: a bare
+            # block_until_ready returns at dispatch acceptance here)
+            from ..utils.profiling import fetch_sync
+
+            fetch_sync(out_re)
         if full_end < dim:
             # tail: an out-of-range dynamic_update_slice start would be
             # CLAMPED and silently corrupt earlier columns, so the remainder

@@ -157,7 +157,11 @@ def cmatmul_f64(
     def run(x, y):
         out = matmul_f64(x, y, **kw)
         if big:
-            jax.block_until_ready(out)
+            # value fetch: block_until_ready returns at dispatch acceptance
+            # on this backend, defeating the HBM-pressure serialization
+            from ..utils.profiling import fetch_sync
+
+            fetch_sync(out)
         return out
 
     rr = run(a_re, b_re)
@@ -717,6 +721,52 @@ def ext_split_upload_coo_pair(
     idx = np.stack([rows, cols]).astype(np.int32)  # (2, nnz)
     return _ext_limbs_from_coo_pair(
         _jax.device_put(idx), _jax.device_put(vals), L, dim
+    )
+
+
+@partial(jax.jit, static_argnames=("L", "dim"))
+def _ext_scatter_pair(packed: jnp.ndarray, idx: jnp.ndarray, L: int, dim: int):
+    """(2*L*nnz,) packed canonical int8 limbs + flat i32 indices -> two
+    dense (L, dim, dim) limb stacks by scatter (trivial device program)."""
+    nnz = idx.shape[0]
+    lr = packed[: L * nnz].reshape(L, nnz)
+    li = packed[L * nnz :].reshape(L, nnz)
+    base = jnp.zeros((L, dim * dim), jnp.int8)
+    are = base.at[:, idx].set(lr).reshape(L, dim, dim)
+    aim = base.at[:, idx].set(li).reshape(L, dim, dim)
+    return are, aim
+
+
+def ext_split_upload_coo_pair_host(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    v_a: np.ndarray,
+    v_b: np.ndarray,
+    dim: int,
+    L: int = EXT_LIMBS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """COO pair -> dense limb stacks via HOST canonical split + int8 scatter.
+
+    Alternative to :func:`ext_split_upload_coo_pair` whose device-side f32
+    extraction program is the slowest executable LOAD of the whole N=12
+    chain (134-258 s at first dispatch per process, every process, cache
+    hit or not — docs/ROUND4.md).  Here the canonical limbs of the
+    nnz-sized value vectors are computed on host (exact, milliseconds),
+    shipped as ONE ~2*L*nnz-byte int8 upload (~3.6 MB at dim 8192), and the
+    dense planes are rebuilt by a trivial scatter program.  Both paths are
+    exact decompositions of identical values, so every downstream product
+    is identical (limb-level ties may canonicalize differently; see the
+    ckpt fingerprint).  dim*dim must fit i32 (holds through dim 32768).
+    """
+    assert rows.shape == cols.shape == v_a.shape == v_b.shape
+    assert dim * dim < 2**31
+    lr = ext_split_host(np.ascontiguousarray(v_a), L)
+    li = ext_split_host(np.ascontiguousarray(v_b), L)
+    packed = np.concatenate([lr.reshape(-1), li.reshape(-1)])
+    idx = (rows.astype(np.int64) * dim + cols.astype(np.int64)).astype(np.int32)
+    return _ext_scatter_pair(
+        jax.device_put(jnp.asarray(packed)), jax.device_put(jnp.asarray(idx)),
+        L, dim,
     )
 
 

@@ -14,6 +14,23 @@ import time
 from dataclasses import dataclass, field
 
 
+def fetch_sync(x) -> None:
+    """Force COMPLETION of the computation producing ``x``.
+
+    On the axon tunnel backend ``jax.block_until_ready`` returns at dispatch
+    ACCEPTANCE, not completion (docs/ROUND3.md): any wall-clock measured or
+    queue-depth throttled through it is acceptance-timed only.  Fetching one
+    element's VALUE is the only honest sync — use this at every measured
+    boundary and wherever queued transients must actually have drained
+    (HBM-pressure serialization points).
+    """
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+
 @dataclass
 class StageTimer:
     """Accumulates named wall-clock stages; serializable into run artifacts."""

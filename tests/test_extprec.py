@@ -257,10 +257,18 @@ def test_ext_chunked_matches_fused(monkeypatch):
     fused = ep.expm_traces_assembled_ext(*args, block=16)
     monkeypatch.setattr(ep, "_EXT_CHUNK_DIM", 1)  # force the large-dim branch
     monkeypatch.setattr(ep, "_EXT_ADV_CHUNK", 3)  # exercise padded tail too
-    # default large-dim path: bounded chunked dispatches fed by the COO
-    # f32-triple-split upload (vs the small-dim dense-split upload of `fused`)
+    # large-dim path, COO f32-triple-split upload: bit-identical canonical
+    # limbs to the small-dim dense-split upload of `fused`
+    monkeypatch.setenv("QST_EXT_HOSTLIMB", "0")
     chunked = ep.expm_traces_assembled_ext(*args, block=16)
     np.testing.assert_array_equal(chunked, fused)
+    # default large-dim path (host canonical split + scatter): an exact
+    # decomposition of the SAME values whose limb-level tie-rounding may
+    # differ, so results agree to the truncation floor, not bit-for-bit
+    monkeypatch.setenv("QST_EXT_HOSTLIMB", "1")
+    hostlimb = ep.expm_traces_assembled_ext(*args, block=16)
+    assert np.abs(hostlimb - fused).max() < 1e-12
+    monkeypatch.setenv("QST_EXT_HOSTLIMB", "0")
     # opt-in fused preamble at large dims (QST_EXT_FUSED=1; faults the real
     # TPU worker at dim 8192 but is exact — keep its math covered on CPU)
     monkeypatch.setenv("QST_EXT_FUSED", "1")
