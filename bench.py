@@ -25,10 +25,13 @@ value 0.0 and an "error" field if both attempts die.
 vs_baseline: measured speedup per evolution against the CPU ODE oracle that
 stands in for QuTiP's sesolve (scipy DOP853 at the reference tolerances,
 atol=1e-10/rtol=1e-9) on this host.  The oracle integrates a short horizon at
-dim 128 and is extrapolated linearly in horizon length (ODE cost is linear in
-t) and quadratically in Hilbert dimension for N=12 (dense matvec cost is
-dim^2 per RHS evaluation; the adaptive step count is set by ||H||, which is
-the same workload physics at both sizes).
+dim 128 and is extrapolated linearly in horizon length (linear-in-t VALIDATED
+by measurement at three horizons: 9.4% spread, experiments/oracle_anchor.json).
+The N=12 ratio uses the MEASURED dim-8192 oracle anchor (DOP853 on the N=12
+workload itself for 1.97e-4 s of physics: 3.507e6 s per second-of-physics,
+i.e. 1.05e8 s for one 30 s evolution — experiments/oracle_anchor.py, 2026-08-18),
+falling back to quadratic-in-dim scaling of the dim-128 oracle only if the
+anchor file is missing.
 
 Prints one JSON line per metric to stdout, the HEADLINE LINE LAST:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -225,6 +228,26 @@ def measure_oracle_per_sim(t_final: float, steps: int) -> float:
     return oracle_short * scale
 
 
+def oracle_n12_anchor_s(t_final: float) -> float | None:
+    """Measured dim-8192 CPU-oracle seconds for a ``t_final``-s evolution.
+
+    Reads the committed measurement (experiments/oracle_anchor.py: DOP853 at
+    the reference tolerances run on the N=12 workload itself), extrapolated
+    linearly in horizon — the linearity is itself measurement-validated in
+    the same file.  Returns None if the anchor is missing/unreadable.
+    """
+    try:
+        with open(os.path.join(HERE, "experiments", "oracle_anchor.json"),
+                  encoding="utf-8") as f:
+            anchor = json.load(f)
+        per_s = float(anchor["dim8192"]["runs"][0]["wall_per_physics_s"])
+        return per_s * t_final
+    except Exception as exc:
+        log(f"[bench] no measured n12 oracle anchor ({exc!r}); "
+            "falling back to quadratic-in-dim scaling")
+        return None
+
+
 def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
     """One n_sea=12 (dim 8192) evolution via the exact-limb (parity-grade)
     expm propagator.  Norm drift is a reported field (quality signal), not
@@ -385,11 +408,15 @@ def main() -> None:
     n12 = _spawn_workload("n12", 30.0, 20_000, retries=1)
     if n12.get("ok"):
         vsb = None
-        if oracle_per_sim is not None:
-            # oracle at N=12 = dim-128 oracle scaled by (8192/128)^2 (dense
-            # matvec cost per RHS; adaptive step count is governed by ||H||,
-            # which is the same physics at both sizes) — QuTiP-CPU cannot
-            # run this workload.
+        # preferred: the MEASURED dim-8192 oracle anchor (DOP853 run on this
+        # exact workload, experiments/oracle_anchor.json) — QuTiP-CPU cannot
+        # run the 30 s horizon (measured extrapolation: ~3.3 years)
+        anchor = oracle_n12_anchor_s(30.0)
+        if anchor is not None:
+            vsb = round(anchor / n12["wall"], 1)
+        elif oracle_per_sim is not None:
+            # fallback: dim-128 oracle scaled by (8192/128)^2 (dense matvec
+            # cost per RHS; adaptive step count is governed by ||H||)
             vsb = round(oracle_per_sim * (n12["dim"] / 128) ** 2 / n12["wall"], 1)
         emit({
             "metric": "evolutions_per_sec_per_chip_n12_30s",
