@@ -660,11 +660,17 @@ def _ext_chain_step(are, aim, d_re, d_im, cl, unit, add_a, panel: int):
             ),
             (pr, pi),
         )
-        # add_a is 0 or 1: int8 mask-add is exact and canonical-preserving
-        # (ext_add re-canonicalizes)
-        am = add_a.astype(jnp.int8)
-        pr = ext_add(ap_re * am, pr)
-        pi = ext_add(ap_im * am, pi)
+        # A-panel add behind a cond, NOT a mask-multiply: ext_add re-runs the
+        # carry cascade, which re-rounds +16 ties — value-equal but not
+        # bit-identical, and the limb layout feeds the >=L truncation.  The
+        # cond branch keeps the squaring path's output the raw panel product,
+        # bit-for-bit what ext_cmatmul returns.
+        pr, pi = jax.lax.cond(
+            add_a > 0.0,
+            lambda o: (ext_add(ap_re, o[0]), ext_add(ap_im, o[1])),
+            lambda o: o,
+            (pr, pi),
+        )
         c_re = jax.lax.dynamic_update_slice_in_dim(c_re, pr, p * panel, axis=2)
         c_im = jax.lax.dynamic_update_slice_in_dim(c_im, pi, p * panel, axis=2)
         return (c_re, c_im), None
@@ -845,7 +851,9 @@ def _prefetch_ext_executables(
 
     Returns the threads (join for deterministic teardown in tests).
     """
+    import os as _os
     import threading
+    import time as _time
 
     from ..ops.extprec import EXT_LIMBS as _L
     from ..ops.extprec import taylor_coeff_limbs
@@ -861,6 +869,20 @@ def _prefetch_ext_executables(
     sea_mask = jnp.asarray(
         (np.arange(len(dims)) < n_sea_effective).astype(np.float64)
     )
+    oneprog = _os.environ.get("QST_EXT_ONEPROG", "1") == "1"
+    # optional stagger: delay the LATER-needed programs' loads so the
+    # chain-step load (the only one on the critical path: the real chain's
+    # first dispatch blocks on it within seconds) gets the shipping channel
+    # to itself first.  0 = all concurrent (measured near-perfect overlap on
+    # a healthy tunnel; stagger is the degraded-tunnel insurance).
+    stagger = float(_os.environ.get("QST_EXT_PREFETCH_STAGGER_S", "0") or "0")
+
+    def t_chain():
+        d_re = jnp.zeros((_L, dim, dim), jnp.int8)  # donated
+        d_im = jnp.zeros((_L, dim, dim), jnp.int8)
+        _sync(_ext_chain_step(
+            Z_re, Z_im, d_re, d_im, coeffs[0], 0.0, 1.0, pan,
+        ))
 
     def t_horner():
         d_re = jnp.zeros((_L, dim, dim), jnp.int8)  # donated
@@ -898,9 +920,21 @@ def _prefetch_ext_executables(
                 adv_chunk, dims, idx_rare, fused_obs=False,
             ))
 
+    def _delayed(fn):
+        def run():
+            _time.sleep(stagger)
+            fn()
+
+        run.__name__ = fn.__name__
+        return run
+
+    first = [t_chain] if oneprog else [t_horner, t_square]
+    later = [t_dbl, t_advance]
+    if stagger > 0.0:
+        later = [_delayed(t) for t in later]
     threads = [
         threading.Thread(target=t, daemon=True, name=f"ext-prefetch-{t.__name__}")
-        for t in (t_horner, t_square, t_dbl, t_advance)
+        for t in first + later
     ]
     for th in threads:
         th.start()
@@ -926,22 +960,49 @@ def _ext_preamble_chunked(
     the squaring/doubling phases raises peak HBM by that much on a 16 GB
     chip (the explicit free point predates the refactor into this helper).
     """
+    import os as _os
+
     from ..ops.extprec import EXT_LIMBS as _L
     from ..ops.extprec import ext_add_identity, ext_split_upload
 
     Are, Aim = A_planes
     A_planes.clear()  # the locals here are now the only references
 
+    # ONE-PROGRAM chain (default): every square-matrix step — the degree-10
+    # Horner recursion, the scaling squarings, AND the doubling pass's
+    # B-squarings — dispatches the SAME `_ext_chain_step` executable
+    # (cl/unit/add_a are data).  On this backend each DISTINCT program pays
+    # 40-260 s of executable load at its first dispatch in every fresh
+    # process (docs/ROUND4.md), so collapsing horner+square into one program
+    # removes a whole load from the prefetch set.  Bit-identical to the
+    # split programs (tested via monkeypatched _EXT_CHUNK_DIM).
+    oneprog = _os.environ.get("QST_EXT_ONEPROG", "1") == "1"
+
+    def _square(u_re, u_im):
+        if not oneprog:
+            return _ext_square_chunk(u_re, u_im, 1, pan)
+        # chain_step donates (2, 3) and needs both operands live: square
+        # into a fresh copy (the copy program already exists in the chain
+        # for the Horner init).  unit=1.0 -> raw U@U panel product.
+        c_re, c_im = jnp.copy(u_re), jnp.copy(u_im)
+        return _ext_chain_step(u_re, u_im, c_re, c_im, coeffs[0], 1.0, 0.0, pan)
+
     # Horner init: D = A.  Fresh copies — the D buffers are donated
     # through the chunk calls while the A stacks stay live.
     D_re, D_im = jnp.copy(Are), jnp.copy(Aim)
     k = _EXT_DEGREE
     while k > 1:
-        n_it = min(_EXT_HORNER_CHUNK, k - 1)
-        # donated d buffers; A stacks passed fresh each call
-        D_re, D_im = _ext_horner_chunk(
-            Are, Aim, D_re, D_im, coeffs, jnp.asarray(k), n_it, pan
-        )
+        if oneprog:
+            D_re, D_im = _ext_chain_step(
+                Are, Aim, D_re, D_im, coeffs[k], 0.0, 1.0, pan
+            )
+            n_it = 1
+        else:
+            n_it = min(_EXT_HORNER_CHUNK, k - 1)
+            # donated d buffers; A stacks passed fresh each call
+            D_re, D_im = _ext_horner_chunk(
+                Are, Aim, D_re, D_im, coeffs, jnp.asarray(k), n_it, pan
+            )
         jax.block_until_ready(D_re)
         k -= n_it
     del Are, Aim  # free ~4 GB before the squaring/doubling phases allocate
@@ -951,8 +1012,12 @@ def _ext_preamble_chunked(
     del D_re, D_im
     remaining = n_sq
     while remaining > 0:
-        n = min(_EXT_SQ_CHUNK, remaining)
-        U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
+        if oneprog:
+            U_re, U_im = _square(U_re, U_im)
+            n = 1
+        else:
+            n = min(_EXT_SQ_CHUNK, remaining)
+            U_re, U_im = _ext_square_chunk(U_re, U_im, n, pan)
         jax.block_until_ready(U_re)
         remaining -= n
     _mark(f"squarings({n_sq} matmuls)", sync=U_re[0, 0, :1])
@@ -971,7 +1036,7 @@ def _ext_preamble_chunked(
         S_re, S_im = _ext_dbl_seed_step(
             B_re, B_im, S_re, S_im, jnp.asarray(shifts[k]), pan
         )
-        B_re, B_im = _ext_square_chunk(B_re, B_im, 1, pan)
+        B_re, B_im = _square(B_re, B_im)
     jax.block_until_ready(S_re)
     _mark(f"doubling({log2_block} passes)", sync=S_re[0, 0, :1])
     return S_re, S_im, B_re, B_im

@@ -262,6 +262,16 @@ def test_ext_chunked_matches_fused(monkeypatch):
     monkeypatch.setenv("QST_EXT_HOSTLIMB", "0")
     chunked = ep.expm_traces_assembled_ext(*args, block=16)
     np.testing.assert_array_equal(chunked, fused)
+    # the one-program chain (default, QST_EXT_ONEPROG=1: horner + squarings
+    # + doubling B-squarings all through `_ext_chain_step`) and the split
+    # horner/square programs must BOTH be bit-identical to the fused program
+    monkeypatch.setenv("QST_EXT_ONEPROG", "0")
+    split_prog = ep.expm_traces_assembled_ext(*args, block=16)
+    np.testing.assert_array_equal(split_prog, fused)
+    monkeypatch.setenv("QST_EXT_ONEPROG", "1")
+    oneprog = ep.expm_traces_assembled_ext(*args, block=16)
+    np.testing.assert_array_equal(oneprog, fused)
+    monkeypatch.delenv("QST_EXT_ONEPROG")
     # default large-dim path (host canonical split + scatter): an exact
     # decomposition of the SAME values whose limb-level tie-rounding may
     # differ, so results agree to the truncation floor, not bit-for-bit
