@@ -267,8 +267,13 @@ def make_sharded_apply(H: OperatorSum, mesh: Mesh, axis: str = "sp"):
         out = sh.local_apply(Cplx(psi_re, psi_im), diag, axis)
         return out.re, out.im
 
-    @jax.jit
+    # the sharded diagonal goes in as an ARGUMENT, not a closure: a closed-
+    # over global array becomes a trace-time constant, and fetching a
+    # constant that spans non-addressable devices fails in multi-PROCESS
+    # runs (tests/test_multiprocess.py)
+    _apply_jit = jax.jit(_apply)
+
     def apply_fn(psi_re, psi_im):
-        return _apply(psi_re, psi_im, diag_dev)
+        return _apply_jit(psi_re, psi_im, diag_dev)
 
     return apply_fn, diag_dev, sharding, sh
