@@ -579,6 +579,7 @@ def _ext_horner_chunk(are, aim, d_re, d_im, coeffs, k0, n_it: int, panel: int):
     L, M, N = are.shape
     panel = min(panel, N)
     n_panels = N // panel
+    asum = are + aim  # Karatsuba A-sum, hoisted out of the panel scan
 
     def panel_body(carry, p):
         c_re, c_im = carry
@@ -589,7 +590,7 @@ def _ext_horner_chunk(are, aim, d_re, d_im, coeffs, k0, n_it: int, panel: int):
 
         def body(i, dd):
             dr, di = dd
-            pr, pi = _ext_cpanel_product(are, aim, dr, di, L)
+            pr, pi = _ext_cpanel_product(are, aim, dr, di, L, asum=asum)
             cl = coeffs[k0 - i]
             pr = _ext_scalar_mul_traced(pr, cl)
             pi = _ext_scalar_mul_traced(pi, cl)
@@ -643,6 +644,7 @@ def _ext_chain_step(are, aim, d_re, d_im, cl, unit, add_a, panel: int):
     L, M, N = are.shape
     panel = min(panel, N)
     n_panels = N // panel
+    asum = are + aim  # Karatsuba A-sum, hoisted out of the panel scan
 
     def panel_body(carry, p):
         c_re, c_im = carry
@@ -650,7 +652,7 @@ def _ext_chain_step(are, aim, d_re, d_im, cl, unit, add_a, panel: int):
         dp_im = jax.lax.dynamic_slice_in_dim(c_im, p * panel, panel, axis=2)
         ap_re = jax.lax.dynamic_slice_in_dim(are, p * panel, panel, axis=2)
         ap_im = jax.lax.dynamic_slice_in_dim(aim, p * panel, panel, axis=2)
-        pr, pi = _ext_cpanel_product(are, aim, dp_re, dp_im, L)
+        pr, pi = _ext_cpanel_product(are, aim, dp_re, dp_im, L, asum=asum)
         pr, pi = jax.lax.cond(
             unit > 0.0,
             lambda o: o,

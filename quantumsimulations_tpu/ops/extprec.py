@@ -34,6 +34,7 @@ emulation, with n_limbs * M*K bytes of limb storage and one i32 transient.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -381,45 +382,22 @@ def ext_cmatmul(
     """
     assert EXT_E == 5, "product grid alignment requires EXT_E == 5"
     L, M, K = are.shape
-    # i32 headroom: worst-case limb magnitude is 33 (limb 0 after carry fold
-    # + identity), the complex combine doubles the K-sum, and a diagonal
-    # accumulates up to L pair products before the carry cascade.
-    assert K * 33 * 33 * 2 * L < 2**31, "i32 would overflow in ext_cmatmul"
+    # i32 headroom (Karatsuba): per limb pair |m3| <= K*66*66, |m1|,|m2| <=
+    # K*33*33, so |im digit| <= K*6534; a diagonal accumulates up to L pair
+    # products before the carry cascade (carry adds < 4% on top).
+    assert K * 6534 * L < 2**31, "i32 would overflow in ext_cmatmul"
     N = bre.shape[2]
     assert N % panel == 0 or N <= panel, (N, panel)
     panel = min(panel, N)
     n_panels = N // panel
 
+    # Karatsuba limb sums, hoisted out of the panel scan (canonical limbs
+    # are <= 16, limb 0 <= 33 after the identity-add carry fold, so sums
+    # are <= 66: exact in int8).
+    asum = are + aim
+
     def one_panel(b_re_p, b_im_p):
-        d_re = []
-        d_im = []
-        # EXT_GUARD extra diagonals below the last kept limb: their exact
-        # digits feed carries upward in the cascade, shrinking the truncation
-        # bound by 2^5 per guard; the canonical guard limbs are then dropped
-        # (<= 16 * w(L) each, deterministic).
-        for s in range(L + EXT_GUARD):
-            acc_re = None
-            acc_im = None
-            # product of limbs (j, i) with j + i == s, both < L.  Each MXU
-            # dot runs the native s8xs8->s32 path (exact by construction:
-            # |products| <= 2^8, K-sums <= K*2^8 << 2^31); diagonal sums
-            # (<= 2^27) stay exact in native i32 — no emulated f64 anywhere.
-            for j in range(max(0, s - L + 1), min(s + 1, L)):
-                i = s - j
-                rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.int32)
-                ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.int32)
-                ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.int32)
-                ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.int32)
-                re_c = rr - ii
-                im_c = ri + ir
-                acc_re = re_c if acc_re is None else acc_re + re_c
-                acc_im = im_c if acc_im is None else acc_im + im_c
-            d_re.append(acc_re)
-            d_im.append(acc_im)
-        return (
-            _ext_carry_i32(jnp.stack(d_re))[:L],
-            _ext_carry_i32(jnp.stack(d_im))[:L],
-        )
+        return _ext_cpanel_product(are, aim, b_re_p, b_im_p, L, asum=asum)
 
     if n_panels <= 1:
         return one_panel(bre, bim)
@@ -465,21 +443,104 @@ def _ext_scalar_mul_traced(a: jnp.ndarray, cl: jnp.ndarray) -> jnp.ndarray:
     return _ext_carry_i32(jnp.stack(d))[:L]
 
 
-def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L):
-    """Exact diagonals + carry for (full ext A) @ (ext B panel)."""
+def _ext_pairs(L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(j, i) limb-pair indices of every kept product diagonal (j + i =
+    s < L + EXT_GUARD, both < L), ordered by (s, j) — the accumulation
+    order of the unrolled pyramid."""
+    pairs = [
+        (j, s - j)
+        for s in range(L + EXT_GUARD)
+        for j in range(max(0, s - L + 1), min(s + 1, L))
+    ]
+    jj = np.asarray([p[0] for p in pairs], np.int32)
+    ii = np.asarray([p[1] for p in pairs], np.int32)
+    return jj, ii
+
+
+def _ext_cpanel_product_pairscan(are, aim, b_re_p, b_im_p, L, asum):
+    """`_ext_cpanel_product` as a fori_loop over limb pairs: one 3-dot body
+    instead of ~400 unrolled dots.  Same exact integers, same accumulation
+    order per diagonal -> bit-identical digits; the executable shrinks ~20x,
+    which matters on backends where FIRST dispatch pays an executable-load
+    proportional to program size (docs/ROUND4.md: 40-260 s per distinct
+    chain program per process on the tunnel).  Opt-in via
+    QST_EXT_PAIRSCAN=1 until the scan body's schedule is measured on real
+    hardware (a combined doubling-pass body was once 4-10x slower than its
+    parts — XLA scan schedules on this backend need measuring, not trusting).
+    """
+    jj_np, ii_np = _ext_pairs(L)
+    jj = jnp.asarray(jj_np)
+    ii = jnp.asarray(ii_np)
+    ss = jnp.asarray(jj_np + ii_np)
+    M = are.shape[1]
+    P = b_re_p.shape[2]
+    bsum_p = b_re_p + b_im_p
+
+    def body(q, dd):
+        dr, di = dd
+        j, i, s = jj[q], ii[q], ss[q]
+        aj_re = jax.lax.dynamic_index_in_dim(are, j, 0, keepdims=False)
+        aj_im = jax.lax.dynamic_index_in_dim(aim, j, 0, keepdims=False)
+        aj_s = jax.lax.dynamic_index_in_dim(asum, j, 0, keepdims=False)
+        bi_re = jax.lax.dynamic_index_in_dim(b_re_p, i, 0, keepdims=False)
+        bi_im = jax.lax.dynamic_index_in_dim(b_im_p, i, 0, keepdims=False)
+        bi_s = jax.lax.dynamic_index_in_dim(bsum_p, i, 0, keepdims=False)
+        m1 = jnp.dot(aj_re, bi_re, preferred_element_type=jnp.int32)
+        m2 = jnp.dot(aj_im, bi_im, preferred_element_type=jnp.int32)
+        m3 = jnp.dot(aj_s, bi_s, preferred_element_type=jnp.int32)
+        re_c = m1 - m2
+        im_c = m3 - m1 - m2
+        cur_r = jax.lax.dynamic_index_in_dim(dr, s, 0, keepdims=False)
+        cur_i = jax.lax.dynamic_index_in_dim(di, s, 0, keepdims=False)
+        dr = jax.lax.dynamic_update_index_in_dim(dr, cur_r + re_c, s, 0)
+        di = jax.lax.dynamic_update_index_in_dim(di, cur_i + im_c, s, 0)
+        return dr, di
+
+    d_re = jnp.zeros((L + EXT_GUARD, M, P), jnp.int32)
+    d_im = jnp.zeros_like(d_re)
+    d_re, d_im = jax.lax.fori_loop(0, len(jj_np), body, (d_re, d_im))
+    return _ext_carry_i32(d_re)[:L], _ext_carry_i32(d_im)[:L]
+
+
+def _ext_cpanel_product(are, aim, b_re_p, b_im_p, L, asum=None):
+    """Exact diagonals + carry for (full ext A) @ (ext B panel).
+
+    Karatsuba complex product — 3 int8 MXU dots per limb pair instead of 4:
+
+        m1 = a_re @ b_re,  m2 = a_im @ b_im,  m3 = (a_re+a_im) @ (b_re+b_im)
+        re = m1 - m2,      im = m3 - m1 - m2
+
+    All three products are exact i32 integers (canonical limbs <= 16, limb 0
+    <= 33 after the identity-add carry fold, so Karatsuba sums are <= 66 and
+    |m3| <= K*66*66 stays far under 2^31), so the digits are BIT-IDENTICAL
+    to the 4-dot form — 25% fewer MXU MACs, same values.  Pass ``asum``
+    (= are + aim, int8) to hoist the A-sum out of a panel scan; the B-panel
+    sum is always computed here (panel-sized, negligible).
+    """
+    if asum is None:
+        asum = are + aim
+    if os.environ.get("QST_EXT_PAIRSCAN") == "1":
+        return _ext_cpanel_product_pairscan(are, aim, b_re_p, b_im_p, L, asum)
+    bsum_p = b_re_p + b_im_p
     d_re = []
     d_im = []
+    # EXT_GUARD extra diagonals below the last kept limb: their exact digits
+    # feed carries upward in the cascade, shrinking the truncation bound by
+    # 2^5 per guard; the canonical guard limbs are then dropped
+    # (<= 16 * w(L) each, deterministic).
     for s in range(L + EXT_GUARD):
         acc_re = None
         acc_im = None
+        # product of limbs (j, i) with j + i == s, both < L.  Each MXU dot
+        # runs the native s8xs8->s32 path; diagonal sums (<= L*K*6534 < 2^31)
+        # stay exact in native i32 — no emulated f64 anywhere.
         for j in range(max(0, s - L + 1), min(s + 1, L)):
             i = s - j
-            rr = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.int32)
-            ii = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.int32)
-            ri = jnp.dot(are[j], b_im_p[i], preferred_element_type=jnp.int32)
-            ir = jnp.dot(aim[j], b_re_p[i], preferred_element_type=jnp.int32)
-            re_c = rr - ii
-            im_c = ri + ir
+            m1 = jnp.dot(are[j], b_re_p[i], preferred_element_type=jnp.int32)
+            m2 = jnp.dot(aim[j], b_im_p[i], preferred_element_type=jnp.int32)
+            m3 = jnp.dot(asum[j], bsum_p[i], preferred_element_type=jnp.int32)
+            re_c = m1 - m2
+            im_c = m3 - m1 - m2
             acc_re = re_c if acc_re is None else acc_re + re_c
             acc_im = im_c if acc_im is None else acc_im + im_c
         d_re.append(acc_re)
@@ -505,6 +566,7 @@ def ext_taylor_horner(
     L, M, N = are.shape
     panel = min(panel, N)
     n_panels = N // panel
+    asum = are + aim  # Karatsuba A-sum, hoisted out of the panel scan
 
     def taylor_panel(p):
         d_re = jax.lax.dynamic_slice_in_dim(are, p * panel, panel, axis=2)
@@ -514,7 +576,7 @@ def ext_taylor_horner(
         def body(i, dd):
             k = degree - i  # k runs degree .. 2
             d_re, d_im = dd
-            p_re, p_im = _ext_cpanel_product(are, aim, d_re, d_im, L)
+            p_re, p_im = _ext_cpanel_product(are, aim, d_re, d_im, L, asum=asum)
             cl = coeff_limbs[k]
             p_re = _ext_scalar_mul_traced(p_re, cl)
             p_im = _ext_scalar_mul_traced(p_im, cl)

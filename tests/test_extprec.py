@@ -480,3 +480,70 @@ def test_ext_split_upload_coo_pair_matches_dense_pair():
     )
     np.testing.assert_array_equal(np.asarray(sa_c), np.asarray(sa_d))
     np.testing.assert_array_equal(np.asarray(sb_c), np.asarray(sb_d))
+
+
+def test_ext_karatsuba_bit_identical_to_four_dot():
+    """The Karatsuba 3-dot limb-pair product in `_ext_cpanel_product` is
+    BIT-IDENTICAL to the plain 4-dot complex form (all arithmetic is exact
+    i32 integers, so re = m1-m2 and im = m3-m1-m2 reproduce rr-ii and ri+ir
+    digit for digit).  Guards the exactness claim the ext chain's checkpoint
+    fingerprints rely on."""
+    from quantumsimulations_tpu.ops.extprec import (
+        _ext_carry_i32,
+        _ext_cpanel_product,
+    )
+
+    rng = np.random.default_rng(7)
+    M = 16
+    ar, ai = rng.uniform(-1.1, 1.1, (2, M, M))
+    br, bi = rng.uniform(-1.1, 1.1, (2, M, M))
+    Are, Aim = ext_split(jnp.asarray(ar)), ext_split(jnp.asarray(ai))
+    Bre, Bim = ext_split(jnp.asarray(br)), ext_split(jnp.asarray(bi))
+    L = int(Are.shape[0])
+
+    got_re, got_im = _ext_cpanel_product(Are, Aim, Bre, Bim, L)
+
+    # reference: the pre-Karatsuba 4-dot pyramid, verbatim
+    d_re, d_im = [], []
+    for s in range(L + EXT_GUARD):
+        acc_re = None
+        acc_im = None
+        for j in range(max(0, s - L + 1), min(s + 1, L)):
+            i = s - j
+            rr = jnp.dot(Are[j], Bre[i], preferred_element_type=jnp.int32)
+            ii = jnp.dot(Aim[j], Bim[i], preferred_element_type=jnp.int32)
+            ri = jnp.dot(Are[j], Bim[i], preferred_element_type=jnp.int32)
+            ir = jnp.dot(Aim[j], Bre[i], preferred_element_type=jnp.int32)
+            re_c = rr - ii
+            im_c = ri + ir
+            acc_re = re_c if acc_re is None else acc_re + re_c
+            acc_im = im_c if acc_im is None else acc_im + im_c
+        d_re.append(acc_re)
+        d_im.append(acc_im)
+    ref_re = _ext_carry_i32(jnp.stack(d_re))[:L]
+    ref_im = _ext_carry_i32(jnp.stack(d_im))[:L]
+
+    assert np.array_equal(np.asarray(got_re), np.asarray(ref_re))
+    assert np.array_equal(np.asarray(got_im), np.asarray(ref_im))
+
+
+def test_ext_pairscan_bit_identical(monkeypatch):
+    """QST_EXT_PAIRSCAN=1 (fori_loop over limb pairs, ~20x smaller
+    executable) produces bit-identical limbs to the unrolled pyramid."""
+    from quantumsimulations_tpu.ops.extprec import _ext_cpanel_product
+
+    rng = np.random.default_rng(11)
+    M = 16
+    ar, ai = rng.uniform(-1.1, 1.1, (2, M, M))
+    br, bi = rng.uniform(-1.1, 1.1, (2, M, M))
+    Are, Aim = ext_split(jnp.asarray(ar)), ext_split(jnp.asarray(ai))
+    Bre, Bim = ext_split(jnp.asarray(br)), ext_split(jnp.asarray(bi))
+    L = int(Are.shape[0])
+
+    monkeypatch.delenv("QST_EXT_PAIRSCAN", raising=False)
+    ref_re, ref_im = _ext_cpanel_product(Are, Aim, Bre, Bim, L)
+    monkeypatch.setenv("QST_EXT_PAIRSCAN", "1")
+    got_re, got_im = _ext_cpanel_product(Are, Aim, Bre, Bim, L)
+
+    assert np.array_equal(np.asarray(got_re), np.asarray(ref_re))
+    assert np.array_equal(np.asarray(got_im), np.asarray(ref_im))
