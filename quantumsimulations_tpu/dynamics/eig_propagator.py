@@ -215,6 +215,7 @@ def eig_traces_assembled_batched(
         np.float64
     )
 
+    custom_put = device_put is not None
     if device_put is None:
         device_put = lambda x, kind: jnp.asarray(x)
     wd = device_put(w, "batch")
@@ -224,17 +225,62 @@ def eig_traces_assembled_batched(
     mask_d = device_put(sea_mask, "batch")
     c = _batched_coeffs_kernel(Vc, psic)
 
-    out = _batched_assembled_all_kernel(
-        wd, rd, Vc, c, mask_d,
-        device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
-        dims, idx_rare,
-    )
-    # Ship the result FLAT: the tunnel transfers N-D arrays one subarray at a
+    # Ship results FLAT: the tunnel transfers N-D arrays one subarray at a
     # time (measured 300 s vs 1.8 s for the same 50 MB); the (NC, B, 8, Tc)
     # block is tiling-friendly (8 sublanes exactly), so the device-side
     # flatten is a cheap relayout and the host transpose is free numpy.
-    n_chunks, Bk, _, Tc = out.shape
-    arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
+    #
+    # Grouped overlap (QST_N6_FETCH_GROUPS > 1): the chunk axis splits into G
+    # equal dispatches of ONE shared program, and each group's flat result is
+    # fetched from its own thread while later groups still execute — the same
+    # threads-overlap behavior measured for executable loads on this tunnel
+    # (docs/ROUND4.md) applies to device->host transfers, hiding most of the
+    # ~2.2 s trace download under the device program and under other fetches.
+    groups = int(os.environ.get("QST_N6_FETCH_GROUPS", "4"))
+    n_chunks = k_chunks.shape[0]
+    if custom_put or groups <= 1 or n_chunks < 2 * groups:
+        out = _batched_assembled_all_kernel(
+            wd, rd, Vc, c, mask_d,
+            device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
+            dims, idx_rare,
+        )
+        n_chunks, Bk, _, Tc = out.shape
+        arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
+        traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
+        return traces
+
+    import threading
+
+    per = -(-n_chunks // groups)  # ceil
+    n_pad = per * groups
+    if n_pad != n_chunks:  # repeat the last chunk row; excess discarded below
+        rep = np.repeat(k_chunks[-1:], n_pad - n_chunks, axis=0)
+        k_chunks = np.concatenate([k_chunks, rep], axis=0)
+        eps_chunks = np.concatenate(
+            [eps_chunks, np.repeat(eps_chunks[-1:], n_pad - n_chunks, axis=0)],
+            axis=0,
+        )
+    Tc = k_chunks.shape[1]
+    flats: list = [None] * groups
+    threads = []
+    for g in range(groups):
+        sl = slice(g * per, (g + 1) * per)
+        out_g = _batched_assembled_all_kernel(
+            wd, rd, Vc, c, mask_d,
+            device_put(k_chunks[sl], "rep"), device_put(eps_chunks[sl], "rep"),
+            dims, idx_rare,
+        )
+        flat_g = _flatten_kernel(out_g)  # dispatched async; fetch in a thread
+
+        def _fetch(i=g, a=flat_g):
+            flats[i] = np.asarray(a)
+
+        th = threading.Thread(target=_fetch, daemon=True, name=f"n6-fetch-{g}")
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    arr = np.concatenate(flats).reshape(n_pad, B, 8, Tc)
     traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
     return traces
 

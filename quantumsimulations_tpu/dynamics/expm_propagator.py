@@ -834,6 +834,9 @@ def _ext_rows_fused(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
     return rows.reshape(8, nb, blk).transpose(1, 0, 2).reshape(-1)
 
 
+_PREFETCHED_SIGS: set = set()
+
+
 def _prefetch_ext_executables(
     dim: int, block: int, pan: int, adv_chunk: int,
     dims: tuple, idx_rare: int, fused_obs: bool, n_sea_effective: int,
@@ -851,6 +854,11 @@ def _prefetch_ext_executables(
     ~8 s total.  The caller does not join: the chain's real first call of
     each program blocks on jit's per-signature lock until its load is done.
 
+    Executable loads are per-program per-PROCESS: a second solve at the same
+    shapes has nothing left to load, so repeat calls with an already-seen
+    signature return no threads (skipping ~8 s of garbage compute and ~4 GB
+    of zero-buffer churn per extra evolution in a sweep).
+
     Returns the threads (join for deterministic teardown in tests).
     """
     import os as _os
@@ -859,6 +867,12 @@ def _prefetch_ext_executables(
 
     from ..ops.extprec import EXT_LIMBS as _L
     from ..ops.extprec import taylor_coeff_limbs
+
+    sig = (dim, block, pan, adv_chunk, tuple(dims), idx_rare, fused_obs,
+           n_sea_effective)
+    if sig in _PREFETCHED_SIGS:
+        return []
+    _PREFETCHED_SIGS.add(sig)
 
     def _sync(x):
         leaf = jax.tree_util.tree_leaves(x)[0]

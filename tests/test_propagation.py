@@ -247,3 +247,34 @@ def test_two_spin_rabi_analytic():
     assert np.allclose(traces["Iz_sea"], -0.5 * np.cos(omega1 * t), atol=1e-10)
     # rare spin untouched: <Iz_R> = +0.5 constant
     assert np.allclose(traces["Iz_R"], 0.5, atol=1e-12)
+
+
+def test_assembled_batched_grouped_fetch_bit_identical(monkeypatch):
+    """The grouped overlapped-fetch path (QST_N6_FETCH_GROUPS > 1) must
+    return bit-identical traces to the single-dispatch path, including when
+    the chunk count does not divide evenly into groups."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+    )
+
+    p1 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 500.0)
+    p2 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 1500.0,
+                      drive_rare=True)
+    t = np.linspace(0.0, p1.t_final, 700)
+    ws, Vs, psis, nse = [], [], [], []
+    for p in (p1, p2):
+        m = build_model(p)
+        w, V = eigh_host(m.hamiltonian.to_dense())
+        ws.append(w); Vs.append(V); psis.append(m.psi0)
+        nse.append(m.n_sea_effective)
+    m0 = build_model(p1)
+    args = (np.stack(ws), np.stack(Vs), np.stack(psis), t, m0.dims,
+            np.asarray(nse), m0.idx_rare)
+
+    monkeypatch.setenv("QST_N6_FETCH_GROUPS", "1")
+    base = eig_traces_assembled_batched(*args, t_chunk=64)  # 11 chunks
+    for groups in ("4", "3"):  # 3 does not divide 11: exercises padding
+        monkeypatch.setenv("QST_N6_FETCH_GROUPS", groups)
+        got = eig_traces_assembled_batched(*args, t_chunk=64)
+        assert got.shape == base.shape
+        assert np.array_equal(got, base)
