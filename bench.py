@@ -375,6 +375,45 @@ def _spawn_workload(name: str, t_final: float, steps: int,
     return last
 
 
+def _claim_device() -> None:
+    """Cooperatively evict any long-running background trace from the chip.
+
+    The N>=13 production-horizon runs (experiments/run_n13.sh) can outlive a
+    session and hold most of HBM; running the bench workloads concurrently
+    would corrupt the measurement or OOM both processes.  Raising the stop
+    flag makes the trace checkpoint and exit cleanly at its next dispatch
+    boundary (quantumsimulations_tpu/dynamics/cheb_step.py::CooperativeStop)
+    — it loses nothing and resumes later.  We then wait (bounded) for the
+    wrapper to acknowledge by exiting."""
+    stop_file = os.environ.get(
+        "QST_STOP_FILE", os.path.join(HERE, ".qst_stop"))
+    pid_file = "/tmp/n13_wrapper.pid"
+
+    def _wrapper_pid():
+        try:
+            with open(pid_file, encoding="utf-8") as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)  # liveness probe only; sends no signal
+            return pid
+        except (OSError, ValueError):
+            return None
+
+    if _wrapper_pid() is None:
+        return
+    log("[bench] background trace wrapper is live; raising cooperative "
+        f"stop flag {stop_file}")
+    with open(stop_file, "w", encoding="utf-8") as f:
+        f.write("bench.py claiming the device\n")
+    deadline = time.time() + 240  # one dispatch (~15 s) + ckpt save + exit
+    while time.time() < deadline:
+        if _wrapper_pid() is None:
+            log("[bench] background trace yielded the device")
+            return
+        time.sleep(5)
+    log("[bench] WARNING: background trace did not exit within 240 s; "
+        "bench numbers may be contended")
+
+
 def emit(metric: dict, log_path: str | None, rev: str) -> None:
     print(json.dumps(metric), flush=True)
     if log_path:
@@ -404,6 +443,7 @@ def main() -> None:
 
     log_path = None if args.no_log else args.log
     rev = _git_rev()
+    _claim_device()
 
     if args.quick:
         meas = _spawn_workload("n6quick", 3.0, 2_000, retries=0)

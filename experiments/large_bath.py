@@ -295,8 +295,18 @@ def main() -> None:
 
     if args.cheb_step_only:
         key = f"cheb_step_n{args.n_sea}"
+        from quantumsimulations_tpu.dynamics.cheb_step import CooperativeStop
+
         try:
             results[key] = run_cheb_step(args.n_sea, args.t_final, args.steps)
+        except CooperativeStop as exc:
+            # a higher-priority process (bench.py) claimed the chip; the
+            # dispatch-boundary checkpoint makes this losslessly resumable
+            print(f"[cheb-step] STOPPED (resumable): {exc}", flush=True)
+            results[key] = {
+                "engine": "cheb-step", "n_sea": args.n_sea,
+                "status": "stopped", "error": str(exc)[:500],
+            }
         except Exception as exc:
             print(f"[cheb-step] FAILED: {exc!r}", flush=True)
             results[key] = {

@@ -9,6 +9,8 @@ cd /root/repo
 # spd=64 reproducibly crashes the TPU worker at dim 16384 (compile-side);
 # spd=8 is proven and has identical warm throughput (0.60 steps/s).
 export QST_CHEB_STEPS_PER_DISPATCH=${QST_CHEB_STEPS_PER_DISPATCH:-8}
+STOP_FILE=${QST_STOP_FILE:-/root/repo/.qst_stop}
+rm -f "$STOP_FILE"   # a fresh launch owns the device until asked to yield
 DEADLINE=$(( $(date +%s) + ${N13_DEADLINE_S:-37800} ))   # default 10.5 h
 LOG=/tmp/n13_run.log
 echo "[wrapper] start $(date -Is) deadline_epoch=$DEADLINE" >> "$LOG"
@@ -34,6 +36,10 @@ EOF
   echo "[wrapper] attempt $i exit status=$status $(date -Is)" >> "$LOG"
   if [ "$status" = "ok" ]; then
     echo "[wrapper] DONE" >> "$LOG"
+    break
+  fi
+  if [ -f "$STOP_FILE" ] || [ "$status" = "stopped" ]; then
+    echo "[wrapper] cooperative stop requested; yielding the device" >> "$LOG"
     break
   fi
   sleep 15

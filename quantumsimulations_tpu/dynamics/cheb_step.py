@@ -48,6 +48,32 @@ from .chebyshev import chebyshev_coefficients
 from .observables import site_xyz_expectations, state_norms
 
 
+class CooperativeStop(RuntimeError):
+    """Raised when a stop file asked a long trace to yield the device.
+
+    The state/rows checkpoint for the current progress is already on disk
+    when this is raised, so a rerun with the same arguments resumes
+    losslessly — the mechanism exists so an independent high-priority
+    process (the round-end ``bench.py``) can claim the single chip without
+    pattern-killing and without corrupting a multi-hour run.
+    """
+
+
+def _stop_file() -> str:
+    """Path of the cooperative stop flag (env QST_STOP_FILE overrides).
+
+    Default lives at the repo root next to the package so independent
+    processes (bench.py, experiments/run_n13.sh) agree on it without
+    coordination."""
+    env = os.environ.get("QST_STOP_FILE")
+    if env:
+        return env
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(pkg_root, ".qst_stop")
+
+
 def _lambda_bound(H: OperatorSum, dim: int) -> float:
     """Spectral bound for the Chebyshev scaling: min(triangle bound, inflated
     host power iteration).  The triangle bound is guaranteed but loose
@@ -232,6 +258,13 @@ def chebyshev_step_traces(
                     f"aborted after {dispatches} dispatches "
                     "(QST_CHEB_ABORT_AFTER_DISPATCHES)"
                 )
+        if done < T and os.path.exists(_stop_file()):
+            # checkpoint for this dispatch is on disk (just saved above when
+            # ckpt_dir is set); yield the device to whoever raised the flag
+            raise CooperativeStop(
+                f"stop file {_stop_file()} present at step {done}/{T}"
+                + ("" if ckpt_dir else " (no ckpt_dir: progress NOT saved)")
+            )
         if progress:
             el = time.perf_counter() - t_start
             rate = done / el if el > 0 else 0.0

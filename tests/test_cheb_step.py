@@ -152,6 +152,37 @@ def test_cheb_step_resume_bit_identical(monkeypatch):
     assert np.array_equal(full, resumed)
 
 
+def test_cheb_step_cooperative_stop_resumes_lossless(monkeypatch, tmp_path):
+    """A stop flag makes the run checkpoint and raise CooperativeStop at the
+    next dispatch boundary; removing the flag and rerunning completes the
+    trace bit-identically (the eviction path bench.py uses to claim the
+    device from a multi-hour background trace)."""
+    from quantumsimulations_tpu.dynamics.cheb_step import CooperativeStop
+
+    p = _params(n_sea=4)
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    full = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        steps_per_dispatch=16,
+    )
+    stop = tmp_path / "stop_flag"
+    ck = tmp_path / "ckpt"
+    monkeypatch.setenv("QST_STOP_FILE", str(stop))
+    stop.write_text("claimed\n")
+    with pytest.raises(CooperativeStop, match="stop file .* at step 16/40"):
+        chebyshev_step_traces(
+            m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective,
+            m.idx_rare, steps_per_dispatch=16, ckpt_dir=str(ck),
+        )
+    stop.unlink()
+    resumed = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective,
+        m.idx_rare, steps_per_dispatch=16, ckpt_dir=str(ck),
+    )
+    assert np.array_equal(full, resumed)
+
+
 def test_simulate_rare_cheb_step_dispatch():
     """The public API runs the engine end to end (reference-compatible keys,
     dipolar_ensemble_with_rare.py:669-680)."""
