@@ -42,6 +42,7 @@ def main() -> None:
     ap.add_argument("--n-sea", type=int, default=13)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--spd", type=int, default=2)
+    ap.add_argument("--arith", default="f64", choices=["f64", "limb"])
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -58,6 +59,7 @@ def main() -> None:
     rows = chebyshev_step_traces(
         m.hamiltonian, m.psi0, times, m.dims, m.n_sea_effective, m.idx_rare,
         norm_bound=lam, steps_per_dispatch=args.spd, progress=True,
+        arithmetic=args.arith,
     )
     wall = time.perf_counter() - t0
     drift = float(np.abs(rows[6] - 1.0).max())

@@ -167,6 +167,7 @@ def chebyshev_step_traces(
     steps_per_dispatch: int | None = None,
     ckpt_dir: str | None = None,
     progress: bool = False,
+    arithmetic: str | None = None,
 ) -> np.ndarray:
     """Assembled rows (8, T), TRACE_ROWS layout — same contract as
     eig_traces_assembled_batched / expm_traces_assembled_ext.
@@ -175,6 +176,11 @@ def chebyshev_step_traces(
     override QST_CHEB_STEPS_PER_DISPATCH); with ``ckpt_dir`` set, the exact
     state + computed rows are snapshotted at every dispatch boundary and a
     rerun with the same arguments resumes bit-identically.
+
+    ``arithmetic`` selects the apply's matmul tier (env override
+    QST_CHEB_ARITH): "f64" (XLA-emulated f64 dots, default) or "limb"
+    (exact int8 limb products, ops/split_apply_limb.py — same values to
+    f64 roundoff, measured faster where the emulation roofline binds).
     """
     times = np.asarray(times)
     T = len(times)
@@ -196,7 +202,15 @@ def chebyshev_step_traces(
     c_re[: len(C)] = np.real(C)
     c_im[: len(C)] = np.imag(C)
 
-    apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
+    arith = arithmetic or os.environ.get("QST_CHEB_ARITH", "f64")
+    if arith == "limb":
+        from ..ops.split_apply_limb import make_split_apply_limb
+
+        apply_ht, so = make_split_apply_limb(H, split=split, scale=1.0 / lam)
+    elif arith == "f64":
+        apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
+    else:
+        raise ValueError(f"unknown arithmetic {arith!r} (use 'f64' or 'limb')")
     DL, DR = so.DL, so.DR
 
     spd = steps_per_dispatch or int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "64"))
@@ -228,6 +242,10 @@ def chebyshev_step_traces(
         ckpt_fp = {
             "engine": "cheb-step", "dim": dim, "T": T, "dt": dt,
             "K": K, "lam": lam, "spd": spd, "e0": e0,
+            # arithmetic tiers agree only to f64 roundoff; resume must not
+            # mix them if bit-identity is expected ("f64" omitted: round-3
+            # snapshots predate the field)
+            **({"arith": arith} if arith != "f64" else {}),
         }
         res = load_ext_advance(ckpt_dir, ckpt_fp)
         if res is not None:

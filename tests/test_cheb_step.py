@@ -106,8 +106,9 @@ def test_default_split_balances():
     assert {DL, DR} == {4, 8}
 
 
+@pytest.mark.parametrize("arith", ["f64", "limb"])
 @pytest.mark.parametrize("kw", CASES)
-def test_cheb_step_matches_eig(kw):
+def test_cheb_step_matches_eig(kw, arith):
     p = _params(**kw)
     m = build_model(p)
     t = np.linspace(0.0, p.t_final, p.steps)
@@ -118,12 +119,34 @@ def test_cheb_step_matches_eig(kw):
     )[0]
     rows = chebyshev_step_traces(
         m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
-        steps_per_dispatch=16,
+        steps_per_dispatch=16, arithmetic=arith,
     )
     np.testing.assert_allclose(rows[:7], ref[:7], rtol=0.0, atol=5e-12)
     # energy row: the conserved t=0 constant
     np.testing.assert_allclose(rows[7], ref[7, 0], rtol=1e-9)
     assert np.abs(rows[6] - 1.0).max() < 1e-12  # norm drift
+
+
+@pytest.mark.parametrize("kw", CASES)
+def test_split_apply_limb_matches_dense_matvec(kw):
+    """The int8-limb apply (ops/split_apply_limb.py) equals the dense
+    matvec to f64 roundoff — the arithmetic tier behind
+    ``arithmetic="limb"``."""
+    from quantumsimulations_tpu.ops.split_apply_limb import make_split_apply_limb
+
+    m = build_model(_params(**kw))
+    H = m.hamiltonian
+    Hd = H.to_dense()
+    ap, so = make_split_apply_limb(H, scale=0.25)
+    rng = np.random.default_rng(7)
+    psi = rng.standard_normal(so.DL * so.DR) + 1j * rng.standard_normal(so.DL * so.DR)
+    import jax.numpy as jnp
+
+    out = ap(Cplx(jnp.asarray(psi.real.reshape(so.DL, so.DR)),
+                  jnp.asarray(psi.imag.reshape(so.DL, so.DR))))
+    got = (np.asarray(out.re) + 1j * np.asarray(out.im)).reshape(-1)
+    ref = 0.25 * (Hd @ psi)
+    np.testing.assert_allclose(got, ref, rtol=0.0, atol=2e-15 * np.abs(ref).max())
 
 
 def test_cheb_step_resume_bit_identical(monkeypatch):
