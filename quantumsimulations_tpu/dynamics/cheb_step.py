@@ -96,6 +96,60 @@ def _lambda_bound(H: OperatorSum, dim: int) -> float:
     return float(bound)
 
 
+def _make_step_scan_ext(apply_ext, DL: int, DR: int, K: int):
+    """Ext-limb-domain variant of :func:`_make_step_scan`: the Chebyshev
+    recurrence state circulates as canonical int8 ext limb stacks
+    (ops/split_apply_ext.py), so the per-term elementwise tier is native
+    int32 carries instead of emulated f64; only the accumulator (whose
+    partial sums exceed the fixed grid) lives in f64, fed by one grouped
+    limb evaluation per term.  Same (f64-planes in, f64-planes out)
+    contract as the f64 scan — checkpoints and rows are tier-agnostic."""
+    from ..ops.extprec import _ext_carry_i32, ext_split
+    from ..ops.split_apply_ext import ext_val_grouped
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run(p_re, p_im, c_re, c_im, n_steps: int):
+        def step(carry, _):
+            pr, pi = carry
+
+            t0_re = ext_split(pr)
+            t0_im = ext_split(pi)
+            h_re, h_im = apply_ext(t0_re, t0_im)  # T_1, canonical limbs
+            v1r = ext_val_grouped(h_re)
+            v1i = ext_val_grouped(h_im)
+            acc_re = c_re[0] * pr - c_im[0] * pi + c_re[1] * v1r - c_im[1] * v1i
+            acc_im = c_re[0] * pi + c_im[0] * pr + c_re[1] * v1i + c_im[1] * v1r
+
+            def term(k, st):
+                tp_re, tp_im, tc_re, tc_im, a_re, a_im = st
+                hh_re, hh_im = apply_ext(tc_re, tc_im)
+                # T_{k+1} = 2 * hh - T_{k-1}: exact digit arithmetic, one
+                # carry (|values| <= 3 stays on the fixed grid)
+                n_re = _ext_carry_i32(
+                    2 * hh_re.astype(jnp.int32) - tp_re.astype(jnp.int32))
+                n_im = _ext_carry_i32(
+                    2 * hh_im.astype(jnp.int32) - tp_im.astype(jnp.int32))
+                vr = ext_val_grouped(n_re)
+                vi = ext_val_grouped(n_im)
+                cr = c_re[k]
+                ci = c_im[k]
+                a_re = a_re + cr * vr - ci * vi
+                a_im = a_im + cr * vi + ci * vr
+                return tc_re, tc_im, n_re, n_im, a_re, a_im
+
+            _, _, _, _, a_re, a_im = jax.lax.fori_loop(
+                2, K, term, (t0_re, t0_im, h_re, h_im, acc_re, acc_im)
+            )
+            return (a_re, a_im), (pr, pi)
+
+        (p_re, p_im), (st_re, st_im) = jax.lax.scan(
+            step, (p_re, p_im), None, length=n_steps
+        )
+        return p_re, p_im, st_re, st_im
+
+    return run
+
+
 def _make_step_scan(apply_ht, DL: int, DR: int, K: int):
     """One device program: advance n_steps output steps, stacking each
     pre-advance state.  apply_ht computes (H / lambda) @ psi (the 1/lambda
@@ -178,9 +232,11 @@ def chebyshev_step_traces(
     rerun with the same arguments resumes bit-identically.
 
     ``arithmetic`` selects the apply's matmul tier (env override
-    QST_CHEB_ARITH): "f64" (XLA-emulated f64 dots, default) or "limb"
-    (exact int8 limb products, ops/split_apply_limb.py — same values to
-    f64 roundoff, measured faster where the emulation roofline binds).
+    QST_CHEB_ARITH): "f64" (XLA-emulated f64 dots, default), "limb"
+    (exact int8 limb products, f64-split per apply —
+    ops/split_apply_limb.py), or "ext" (recurrence state kept in the
+    fixed-grid limb domain, native-int elementwise —
+    ops/split_apply_ext.py).  All tiers agree to f64 roundoff.
     """
     times = np.asarray(times)
     T = len(times)
@@ -203,14 +259,26 @@ def chebyshev_step_traces(
     c_im[: len(C)] = np.imag(C)
 
     arith = arithmetic or os.environ.get("QST_CHEB_ARITH", "f64")
-    if arith == "limb":
+    apply_ext = None
+    if arith == "ext":
+        from ..ops.extprec import ext_split
+        from ..ops.split_apply_ext import ext_val_grouped, make_ext_apply
+
+        apply_ext, so = make_ext_apply(H, split=split, scale=1.0 / lam)
+
+        def apply_ht(p: Cplx) -> Cplx:  # f64 facade (e0 computation only)
+            o_re, o_im = apply_ext(ext_split(p.re), ext_split(p.im))
+            return Cplx(ext_val_grouped(o_re), ext_val_grouped(o_im))
+
+    elif arith == "limb":
         from ..ops.split_apply_limb import make_split_apply_limb
 
         apply_ht, so = make_split_apply_limb(H, split=split, scale=1.0 / lam)
     elif arith == "f64":
         apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
     else:
-        raise ValueError(f"unknown arithmetic {arith!r} (use 'f64' or 'limb')")
+        raise ValueError(
+            f"unknown arithmetic {arith!r} (use 'f64', 'limb', or 'ext')")
     DL, DR = so.DL, so.DR
 
     spd = steps_per_dispatch or int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "64"))
@@ -228,7 +296,10 @@ def chebyshev_step_traces(
         jnp.sum(p0.re * h0.re + p0.im * h0.im)
     ))  # <H> at t=0, conserved under the (unitary) propagation
 
-    run = _make_step_scan(apply_ht, DL, DR, K)
+    if apply_ext is not None:
+        run = _make_step_scan_ext(apply_ext, DL, DR, K)
+    else:
+        run = _make_step_scan(apply_ht, DL, DR, K)
     crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
 
     done = 0

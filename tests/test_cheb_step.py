@@ -106,7 +106,7 @@ def test_default_split_balances():
     assert {DL, DR} == {4, 8}
 
 
-@pytest.mark.parametrize("arith", ["f64", "limb"])
+@pytest.mark.parametrize("arith", ["f64", "limb", "ext"])
 @pytest.mark.parametrize("kw", CASES)
 def test_cheb_step_matches_eig(kw, arith):
     p = _params(**kw)
