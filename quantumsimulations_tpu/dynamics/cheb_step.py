@@ -96,16 +96,17 @@ def _lambda_bound(H: OperatorSum, dim: int) -> float:
     return float(bound)
 
 
-def _make_step_scan_ext(apply_ext, DL: int, DR: int, K: int):
-    """Ext-limb-domain variant of :func:`_make_step_scan`: the Chebyshev
-    recurrence state circulates as canonical int8 ext limb stacks
+def _make_step_scan_ext(apply_ext, grid_ops, K: int):
+    """Limb-domain variant of :func:`_make_step_scan`: the Chebyshev
+    recurrence state circulates as canonical int8 limb stacks
     (ops/split_apply_ext.py), so the per-term elementwise tier is native
     int32 carries instead of emulated f64; only the accumulator (whose
     partial sums exceed the fixed grid) lives in f64, fed by one grouped
     limb evaluation per term.  Same (f64-planes in, f64-planes out)
     contract as the f64 scan — checkpoints and rows are tier-agnostic."""
-    from ..ops.extprec import _ext_carry_i32, ext_split
-    from ..ops.split_apply_ext import ext_val_grouped
+    ext_split = grid_ops.split
+    _carry = grid_ops.carry
+    ext_val_grouped = grid_ops.val
 
     @partial(jax.jit, static_argnames=("n_steps",))
     def run(p_re, p_im, c_re, c_im, n_steps: int):
@@ -125,9 +126,9 @@ def _make_step_scan_ext(apply_ext, DL: int, DR: int, K: int):
                 hh_re, hh_im = apply_ext(tc_re, tc_im)
                 # T_{k+1} = 2 * hh - T_{k-1}: exact digit arithmetic, one
                 # carry (|values| <= 3 stays on the fixed grid)
-                n_re = _ext_carry_i32(
+                n_re = _carry(
                     2 * hh_re.astype(jnp.int32) - tp_re.astype(jnp.int32))
-                n_im = _ext_carry_i32(
+                n_im = _carry(
                     2 * hh_im.astype(jnp.int32) - tp_im.astype(jnp.int32))
                 vr = ext_val_grouped(n_re)
                 vi = ext_val_grouped(n_im)
@@ -259,16 +260,15 @@ def chebyshev_step_traces(
     c_im[: len(C)] = np.imag(C)
 
     arith = arithmetic or os.environ.get("QST_CHEB_ARITH", "f64")
-    apply_ext = None
+    apply_ext = grid_ops = None
     if arith == "ext":
-        from ..ops.extprec import ext_split
-        from ..ops.split_apply_ext import ext_val_grouped, make_ext_apply
+        from ..ops.split_apply_ext import make_ext_apply
 
-        apply_ext, so = make_ext_apply(H, split=split, scale=1.0 / lam)
+        apply_ext, so, grid_ops = make_ext_apply(H, split=split, scale=1.0 / lam)
 
         def apply_ht(p: Cplx) -> Cplx:  # f64 facade (e0 computation only)
-            o_re, o_im = apply_ext(ext_split(p.re), ext_split(p.im))
-            return Cplx(ext_val_grouped(o_re), ext_val_grouped(o_im))
+            o_re, o_im = apply_ext(grid_ops.split(p.re), grid_ops.split(p.im))
+            return Cplx(grid_ops.val(o_re), grid_ops.val(o_im))
 
     elif arith == "limb":
         from ..ops.split_apply_limb import make_split_apply_limb
@@ -297,7 +297,7 @@ def chebyshev_step_traces(
     ))  # <H> at t=0, conserved under the (unitary) propagation
 
     if apply_ext is not None:
-        run = _make_step_scan_ext(apply_ext, DL, DR, K)
+        run = _make_step_scan_ext(apply_ext, grid_ops, K)
     else:
         run = _make_step_scan(apply_ht, DL, DR, K)
     crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)

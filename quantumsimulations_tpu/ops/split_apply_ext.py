@@ -1,4 +1,4 @@
-"""Split-matmul apply in the FIXED-GRID ext limb domain (int-native path).
+"""Split-matmul apply in a FIXED-GRID limb domain (int-native path).
 
 Third arithmetic tier for the beyond-dense Chebyshev stepper, after
 measurement eliminated the other two (docs/ROUND4.md):
@@ -15,21 +15,27 @@ per-apply elementwise tier is NATIVE int32 (carry cascades) instead of
 emulated f64:
 
   * static operator planes are split once at build time (host);
-  * the apply takes canonical ext limbs and returns canonical ext limbs —
-    int8 MXU dots into int32 digit stacks, summed across the four buckets
+  * the apply takes canonical limbs and returns canonical limbs — int8 MXU
+    dots into int32 digit stacks, summed across the four buckets
     (diag / left / cross / right) ON the shared digit grid, ONE carry
     cascade at the end;
   * Chebyshev T_k entries are bounded (|T_k(H/lam) psi| <= 1 elementwise
-    norm), so the fixed grid (|x| < 2^EXT_E) always holds mid-recurrence
-    (2*P - T_prev <= 3);
+    norm), so the fixed grid (|x| < 2^GRID_BITS) always holds
+    mid-recurrence (2*P - T_prev <= 3);
   * only the trace ACCUMULATOR lives in f64 (its partial sums reach
     sum_k |c_k| ~ O(sqrt(lam dt)) >> grid top): per term one grouped
-    int32-Horner limb evaluation (`ext_val_grouped`) and a scalar f64
-    multiply-add — ~3% of the step at dim 16384.
+    int32-Horner limb evaluation and a scalar f64 multiply-add.
 
-Grid bookkeeping matches ops/extprec.py (EXT_E == 5 asserted: limb j has
-weight 2^-5j, products of limbs (j, i) land exactly on digit j + i; the
-EXT_GUARD extra diagonals feed carries up the cascade).
+Grid: limb j (int8) carries weight 2^(-GRID_BITS * j); with the grid
+exponent equal to the limb width, the product of limbs (j, i) lands
+exactly on digit j + i (the alignment trick of ops/extprec.py, which uses
+5-bit limbs x 15 = 75 bits for the expm SQUARING chain's 2^17 error
+amplification).  Chebyshev stepping amplifies per-apply error only as a
+~random walk over the 7.4e7 applies of a production trace, so this tier
+defaults to 6-bit limbs x 10 = 60 bits (resolution 2^-54, f64-grade
+per-apply error) — 2x fewer int8 MACs than the 15x5 grid for the same
+delivered precision.  Measured on the v5e at dim 16384: the 15x5 grid ran
+0.77 steps/s vs f64's 0.601 (docs/ROUND4.md).
 
 Replaces qt.sesolve (reference: dipolar_ensemble_with_rare.py:653-666)
 beyond dense reach, as ``arithmetic="ext"`` under dynamics/cheb_step.py.
@@ -37,42 +43,119 @@ beyond dense reach, as ``arithmetic="ext"`` under dynamics/cheb_step.py.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .embed import OperatorSum
-from .extprec import EXT_E, EXT_GUARD, EXT_LIMBS, _ext_carry_i32, ext_split_host
 from .split_apply import split_operator
 
-assert EXT_E == 5, "digit-grid alignment below requires EXT_E == 5"
+GRID_BITS = 6
+GRID_LIMBS = 10  # 10 * 6 = 60 captured bits; resolution 2^-54 for |x| <= 1
+GRID_GUARD = 2  # extra product diagonals feeding carries up the cascade
 
 
-def _product_digits(a, b, L: int, K: int):
-    """Digit stacks of (ext a) @ (ext b): (L+G, M, N) int32, NO carry.
+@dataclass(frozen=True)
+class GridOps:
+    """Limb-domain primitives bound to one (bits, limbs) grid."""
 
-    Real x real — complex assembly happens bucket-wise in the caller
-    (every static plane is real by i-folding, so the apply needs only
-    real-A x real-B products).  Exactness: canonical limbs are <= 16
-    (limb 0 <= 33), so each dot is <= K * 33 * 33 and a diagonal sums <= L
-    of those — asserted against i32.
+    bits: int
+    limbs: int
+    split: Callable  # f64 -> canonical int8 limbs (device)
+    carry: Callable  # int32 digit stack -> canonical int8 limbs
+    val: Callable  # canonical limbs -> f64 (grouped int32 Horner)
+
+
+def _split_host(x: np.ndarray, b: int, L: int) -> np.ndarray:
+    """Host split: f64 -> (L, ...) int8 canonical limbs on the 2^b grid."""
+    maxabs = float(np.abs(x).max()) if x.size else 0.0
+    assert maxabs < 2.0**b, (
+        f"grid domain violated: max|x| = {maxabs} >= 2^{b}"
+    )
+    limbs = np.empty((L,) + x.shape, np.int8)
+    r = np.array(x, np.float64)
+    l = np.empty_like(r)
+    for j in range(L):
+        np.rint(r, out=l)
+        limbs[j] = l
+        r -= l
+        r *= float(2**b)
+    return limbs
+
+
+def _make_grid_ops(b: int, L: int) -> GridOps:
+    half = 1 << (b - 1)
+
+    def split(x: jnp.ndarray) -> jnp.ndarray:
+        limbs = []
+        r = x
+        for _ in range(L):
+            l = jnp.rint(r)
+            limbs.append(l.astype(jnp.int8))
+            r = (r - l) * float(2**b)
+        return jnp.stack(limbs)
+
+    def carry(d: jnp.ndarray) -> jnp.ndarray:
+        """Exact carry cascade on int32 digits -> canonical int8 limbs
+        (nearest, ties toward +inf — same contract as extprec's i32 carry)."""
+        n = d.shape[0]
+        limbs = [None] * n
+        c = jnp.zeros_like(d[0])
+        for j in range(n - 1, 0, -1):
+            t = d[j] + c
+            c = (t + half) >> b
+            limbs[j] = (t - (c << b)).astype(jnp.int8)
+        limbs[0] = (d[0] + c).astype(jnp.int8)
+        return jnp.stack(limbs)
+
+    def val(limbs: jnp.ndarray) -> jnp.ndarray:
+        """Canonical limbs -> f64 via int32 group Horner: only ceil(L/g)
+        emulated-f64 multiply-adds per element instead of L."""
+        n = limbs.shape[0]
+        # group size: Horner partial sums must stay exact in int32
+        # (|l| <= 2^b canonical incl. the fold into limb 0)
+        g = max(1, (31 - (b + 1)) // b)
+        out = None
+        for g0 in range(0, n, g):
+            gl = limbs[g0].astype(jnp.int32)
+            e = g0
+            for j in range(g0 + 1, min(g0 + g, n)):
+                gl = (gl << b) + limbs[j].astype(jnp.int32)
+                e = j
+            term = gl.astype(jnp.float64) * (2.0 ** (-float(b * e)))
+            out = term if out is None else out + term
+        return out
+
+    return GridOps(bits=b, limbs=L, split=split, carry=carry, val=val)
+
+
+def _product_digits(a, b_st, L: int, K: int, bits: int):
+    """Digit stacks of (limb a) @ (limb b): (L+GUARD, M, N) int32, NO carry.
+
+    Real x real — complex assembly happens bucket-wise in the caller (every
+    static plane is real by i-folding).  Exactness: canonical limbs are
+    <= 2^(bits-1) (limb 0 <= ~2^bits after carry folds), so each dot is
+    <= K * 2^(2*bits) and a diagonal sums <= L of those — asserted i32.
     """
-    assert K * 33 * 33 * L < 2**31, "i32 would overflow in _product_digits"
+    assert K * (2 ** (2 * bits)) * L < 2**31, "i32 would overflow"
     digits = []
-    for s in range(L + EXT_GUARD):
+    for s in range(L + GRID_GUARD):
         acc = None
         for j in range(max(0, s - L + 1), min(s + 1, L)):
             i = s - j
-            m = jnp.dot(a[j], b[i], preferred_element_type=jnp.int32)
+            m = jnp.dot(a[j], b_st[i], preferred_element_type=jnp.int32)
             acc = m if acc is None else acc + m
         digits.append(acc)
     return jnp.stack(digits)
 
 
 def _ew_digits(d, t, L: int):
-    """Digit stacks of (ext diag d) * (ext t), elementwise: (L+G, ...) i32."""
+    """Digit stacks of (limb diag d) * (limb t), elementwise: i32."""
     digits = []
-    for s in range(L + EXT_GUARD):
+    for s in range(L + GRID_GUARD):
         acc = None
         for j in range(max(0, s - L + 1), min(s + 1, L)):
             i = s - j
@@ -82,42 +165,26 @@ def _ew_digits(d, t, L: int):
     return jnp.stack(digits)
 
 
-def ext_val_grouped(limbs: jnp.ndarray) -> jnp.ndarray:
-    """Canonical ext limbs -> f64 value via int32 group Horner.
+def make_ext_apply(
+    H: OperatorSum,
+    split: int | None = None,
+    scale: float = 1.0,
+    grid_bits: int = GRID_BITS,
+    grid_limbs: int = GRID_LIMBS,
+):
+    """Limb-domain ``apply(t_re, t_im) -> (p_re, p_im)``.
 
-    The naive evaluation is L emulated-f64 multiply-adds per element; here
-    groups of 4 limbs Horner-combine exactly in NATIVE int32
-    (<= ((33*32+16)*32+16)*32+16 < 2^31), so only ceil(L/4) f64
-    multiply-adds remain per element.
-    """
-    L = limbs.shape[0]
-    parts = []
-    for g0 in range(0, L, 4):
-        gl = limbs[g0].astype(jnp.int32)
-        n = 1
-        for j in range(g0 + 1, min(g0 + 4, L)):
-            gl = (gl << 5) + limbs[j].astype(jnp.int32)
-            n += 1
-        # last limb in the group has weight 2^-5*(g0+n-1)
-        parts.append((gl, 2.0 ** (-5.0 * (g0 + n - 1))))
-    out = None
-    for gl, w in parts:
-        term = gl.astype(jnp.float64) * w
-        out = term if out is None else out + term
-    return out
-
-
-def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0):
-    """Canonical-ext-domain ``apply(t_re, t_im) -> (p_re, p_im)``.
-
-    Inputs/outputs are (EXT_LIMBS, DL, DR) int8 canonical limb stacks of the
-    statevector planes; the result is ``scale * H @ t`` exactly to the grid
-    truncation (~2^-70 absolute with the guard digits).  Returns
-    ``(apply, so)`` like the other split-apply factories.
+    Inputs/outputs are (grid_limbs, DL, DR) int8 canonical limb stacks of
+    the statevector planes; the result is ``scale * H @ t`` exact to the
+    grid truncation.  Returns ``(apply, so, ops)`` with the
+    :class:`GridOps` the caller needs to split/evaluate states on the SAME
+    grid.
     """
     so = split_operator(H, split)
     DL, DR = so.DL, so.DR
-    L = EXT_LIMBS
+    b = grid_bits
+    L = grid_limbs
+    ops = _make_grid_ops(b, L)
 
     has_diag = bool(np.any(so.diag))
     has_HLre = bool(np.any(so.HL_re))
@@ -148,7 +215,7 @@ def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0)
         _push("cim", so.cross_im_L)
 
     def _pre(mat: np.ndarray):
-        return jnp.asarray(ext_split_host(np.ascontiguousarray(mat)))
+        return jnp.asarray(_split_host(np.ascontiguousarray(mat), b, L))
 
     Lcat = _pre(np.concatenate(blocks, axis=0)) if blocks else None
     diag_ext = _pre(so.diag * scale) if has_diag else None
@@ -181,11 +248,11 @@ def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0)
         """Second stage of one cross bucket for ONE input plane's left
         product digits: carry the Zc slice to canonical, relayout to
         (L, DL, A_n*DR), multiply by the transposed R stack."""
-        Zc = _ext_carry_i32(_slice_rows(dig_plane, name, A_n * DL))[:L]
+        Zc = ops.carry(_slice_rows(dig_plane, name, A_n * DL))[:L]
         Zt = jnp.transpose(
             Zc.reshape(L, A_n, DL, DR), (0, 2, 1, 3)
         ).reshape(L, DL, A_n * DR)
-        return _product_digits(Zt, Rt, L, A_n * DR)
+        return _product_digits(Zt, Rt, L, A_n * DR, b)
 
     def apply(t_re: jnp.ndarray, t_im: jnp.ndarray):
         dig_re = None
@@ -198,8 +265,8 @@ def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0)
             dig_re = _acc(dig_re, _ew_digits(diag_ext, t_re, L))
             dig_im = _acc(dig_im, _ew_digits(diag_ext, t_im, L))
         if Lcat is not None:
-            zr = _product_digits(Lcat, t_re, L, DL)  # (L+G, R_total, DR)
-            zi = _product_digits(Lcat, t_im, L, DL)
+            zr = _product_digits(Lcat, t_re, L, DL, b)  # (L+G, R_total, DR)
+            zi = _product_digits(Lcat, t_im, L, DL, b)
             if has_HLre:
                 dig_re = _acc(dig_re, _slice_rows(zr, "HLre", DL))
                 dig_im = _acc(dig_im, _slice_rows(zi, "HLre", DL))
@@ -213,8 +280,8 @@ def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0)
                 dig_re = _acc(dig_re, -_cross_digits(zi, "cim", A_im, CimRt))
                 dig_im = _acc(dig_im, _cross_digits(zr, "cim", A_im, CimRt))
         if Rcat is not None:
-            wr = _product_digits(t_re, Rcat, L, DR)  # (L+G, DL, rpos)
-            wi = _product_digits(t_im, Rcat, L, DR)
+            wr = _product_digits(t_re, Rcat, L, DR, b)  # (L+G, DL, rpos)
+            wi = _product_digits(t_im, Rcat, L, DR, b)
 
             def _cols(dig, name):
                 return jax.lax.dynamic_slice_in_dim(dig, roff[name], DR, axis=2)
@@ -225,6 +292,6 @@ def make_ext_apply(H: OperatorSum, split: int | None = None, scale: float = 1.0)
             if has_HRim:
                 dig_re = _acc(dig_re, -_cols(wi, "HRim"))
                 dig_im = _acc(dig_im, _cols(wr, "HRim"))
-        return _ext_carry_i32(dig_re)[:L], _ext_carry_i32(dig_im)[:L]
+        return ops.carry(dig_re)[:L], ops.carry(dig_im)[:L]
 
-    return apply, so
+    return apply, so, ops
