@@ -194,7 +194,9 @@ def run_cheb_step(n_sea: int, t_final: float, steps: int) -> dict:
         Iz_sea=rows[2], Iz_R=rows[3], state_norm=rows[6],
     )
     out = {
-        "engine": "cheb-step", "status": "ok", "n_sea": n_sea, "dim": dim,
+        "engine": "cheb-step", "status": "ok",
+        "arithmetic": os.environ.get("QST_CHEB_ARITH", "f64"),
+        "n_sea": n_sea, "dim": dim,
         "t_final": t_final, "steps": steps, "wall_s": round(wall, 1),
         "wall_h": round(wall / 3600, 2), "norm_drift": drift,
         "steps_per_s": round(steps / wall, 3), "lambda": lam,
