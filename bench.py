@@ -306,6 +306,56 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
             "warmup_wall": warmup_wall, "warmup_norm_drift": warm_drift}
 
 
+def bench_n13_steps() -> dict:
+    """Beyond-dense-reach throughput: n_sea=13 (dim 16384) Chebyshev
+    stepping on the limb-domain apply (the engine that produced the full
+    measured N=13 production trace, docs/ROUND4.md), at the production
+    output spacing.  One warm-up dispatch (compile + executable load),
+    then a measured 8-step dispatch — steady-state steps/s, fetch-synced.
+    """
+    import jax.numpy as jnp
+
+    from quantumsimulations_tpu.dynamics.cheb_step import (
+        _lambda_bound,
+        _make_step_scan_ext,
+    )
+    from quantumsimulations_tpu.dynamics.chebyshev import chebyshev_coefficients
+    from quantumsimulations_tpu.models.dipolar import build_model
+    from quantumsimulations_tpu.ops.split_apply_ext import make_ext_apply
+
+    p = _params_production(13, 1000.0, True, True, 30.0, 20_000)
+    model = build_model(p)
+    dim = int(np.prod(model.dims))
+    dt = 30.0 / 19_999
+    lam = _lambda_bound(model.hamiltonian, dim)
+    C = chebyshev_coefficients(lam, np.asarray([dt]))[0]
+    K = max(2, len(C))
+    c_re = np.zeros(K)
+    c_im = np.zeros(K)
+    c_re[: len(C)] = np.real(C)
+    c_im[: len(C)] = np.imag(C)
+
+    apply_ext, so, _ops = make_ext_apply(model.hamiltonian, scale=1.0 / lam)
+    run = _make_step_scan_ext(apply_ext, _ops, K)
+    crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
+    p_re = jnp.asarray(model.psi0.real.reshape(so.DL, so.DR))
+    p_im = jnp.asarray(model.psi0.imag.reshape(so.DL, so.DR))
+
+    log(f"n13 workload: dim {dim}, K={K} terms/step, warm-up + 8 measured steps")
+    t0 = time.perf_counter()
+    p_re, p_im, _, _ = run(p_re, p_im, crd, cid, 2)
+    _ = np.asarray(p_re)[0, 0]  # value fetch = honest sync
+    warmup_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p_re, p_im, _, _ = run(p_re, p_im, crd, cid, 8)
+    nrm = float(np.sqrt(np.asarray(jnp.sum(p_re * p_re + p_im * p_im))))
+    wall = time.perf_counter() - t0
+    log(f"n13: 8 steps in {wall:.2f}s -> {8 / wall:.3f} steps/s "
+        f"(warm-up {warmup_wall:.1f}s), norm {nrm:.12f}")
+    return {"wall": wall, "steps": 8, "dim": dim, "terms_per_step": K,
+            "norm_drift": abs(nrm - 1.0), "warmup_wall": warmup_wall}
+
+
 # ---------------------------------------------------------------------------
 # worker / parent plumbing
 # ---------------------------------------------------------------------------
@@ -314,6 +364,7 @@ _WORKLOADS = {
     "n6": lambda a: bench_sweep_n6(t_final=a.t_final, steps=a.steps),
     "n6quick": lambda a: bench_sweep_n6(t_final=3.0, steps=2_000),
     "n12": lambda a: bench_n12(t_final=a.t_final, steps=a.steps),
+    "n13": lambda a: bench_n13_steps(),
 }
 
 
@@ -492,6 +543,23 @@ def main() -> None:
         }, log_path, rev)
     else:
         log(f"n12 bench FAILED: {n12.get('error')}")
+
+    # ---- beyond-dense N=13 stepping throughput (own fresh process) ----
+    n13 = _spawn_workload("n13", 30.0, 20_000, retries=1)
+    if n13.get("ok"):
+        emit({
+            "metric": "cheb_steps_per_sec_n13_dim16384",
+            "value": round(n13["steps"] / n13["wall"], 4),
+            "unit": "steps/s",
+            # no measured CPU oracle exists at dim 16384 (the dim-8192
+            # anchor extrapolates to ~13 years/evolution by dim^2 scaling —
+            # an assumption, so not reported as a measured ratio)
+            "vs_baseline": None,
+            "norm_drift": n13.get("norm_drift"),
+            "warmup_wall_s": n13.get("warmup_wall"),
+        }, log_path, rev)
+    else:
+        log(f"n13 bench FAILED: {n13.get('error')}")
 
     # ---- headline line LAST, always emitted ----
     if meas.get("ok"):
