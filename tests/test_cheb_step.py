@@ -206,6 +206,41 @@ def test_cheb_step_cooperative_stop_resumes_lossless(monkeypatch, tmp_path):
     assert np.array_equal(full, resumed)
 
 
+def test_grid_ops_roundtrip_and_carry():
+    """Direct unit tests of the limb-domain grid primitives
+    (ops/split_apply_ext.py): split->val round-trip at grid resolution,
+    carry cascade vs direct evaluation, host/device split agreement."""
+    import jax.numpy as jnp
+
+    from quantumsimulations_tpu.ops.split_apply_ext import (
+        GRID_BITS,
+        GRID_LIMBS,
+        _make_grid_ops,
+        _split_host,
+    )
+
+    ops = _make_grid_ops(GRID_BITS, GRID_LIMBS)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-3.0, 3.0, size=(64, 32))  # recurrence-range values
+    res = 2.0 ** (GRID_BITS - GRID_BITS * GRID_LIMBS)
+
+    # split -> val round-trip: exact to the grid resolution
+    limbs_d = ops.split(jnp.asarray(x))
+    err = np.abs(np.asarray(ops.val(limbs_d)) - x).max()
+    assert err <= res, (err, res)
+
+    # host and device splits produce identical canonical limbs
+    np.testing.assert_array_equal(
+        np.asarray(limbs_d), _split_host(x, GRID_BITS, GRID_LIMBS))
+
+    # carry of doubled digits == value doubled (the recurrence's 2*P - T)
+    y = rng.uniform(-1.0, 1.0, size=(64, 32))
+    ly = ops.split(jnp.asarray(y))
+    d = 2 * np.asarray(limbs_d, np.int32) - np.asarray(ly, np.int32)
+    got = np.asarray(ops.val(ops.carry(jnp.asarray(d))))
+    np.testing.assert_allclose(got, 2 * x - y, rtol=0.0, atol=4 * res)
+
+
 def test_simulate_rare_cheb_step_dispatch():
     """The public API runs the engine end to end (reference-compatible keys,
     dipolar_ensemble_with_rare.py:669-680)."""
