@@ -295,3 +295,188 @@ def make_ext_apply(
         return ops.carry(dig_re)[:L], ops.carry(dig_im)[:L]
 
     return apply, so, ops
+
+
+def make_ext_apply_sharded(
+    H: OperatorSum,
+    axis: str,
+    n_shards: int,
+    split: int | None = None,
+    scale: float = 1.0,
+    grid_bits: int = GRID_BITS,
+    grid_limbs: int = GRID_LIMBS,
+):
+    """DR-column-sharded limb-domain apply, to run INSIDE ``shard_map``.
+
+    The statevector plane (DL, DR) is sharded on its DR axis over mesh axis
+    ``axis`` (DR must divide by ``n_shards``).  Communication per apply:
+
+      * diag + left products: fully LOCAL (contraction dim DL is unsharded);
+      * cross second stage and right bucket contract over the GLOBAL DR
+        axis: each device computes its k-local digit partials for ALL
+        output columns, carries them to canonical (bounding each limb at
+        ~2^bits so the cross-device sum cannot overflow i32), and ONE
+        ``lax.psum`` of the int8-ranged i32 stacks — value-exact integer
+        collectives, no f64 rounding on the wire — then slices its own
+        output columns.
+
+    Returns ``(apply_local, so, ops)``; ``apply_local(t_re, t_im)`` maps
+    (L, DL, DR/n_shards) canonical limbs -> same, matching the single-chip
+    `make_ext_apply` exactly (same digits after the final carry).
+    """
+    so = split_operator(H, split)
+    DL, DR = so.DL, so.DR
+    assert DR % n_shards == 0, (DR, n_shards)
+    DRl = DR // n_shards
+    b = grid_bits
+    L = grid_limbs
+    ops = _make_grid_ops(b, L)
+
+    has_diag = bool(np.any(so.diag))
+    has_HLre = bool(np.any(so.HL_re))
+    has_HLim = bool(np.any(so.HL_im))
+    has_HRre = bool(np.any(so.HR_re))
+    has_HRim = bool(np.any(so.HR_im))
+    A_re = so.cross_re_L.shape[0]
+    A_im = so.cross_im_L.shape[0]
+
+    blocks: list[np.ndarray] = []
+    off: dict[str, int] = {}
+    pos = 0
+
+    def _push(name: str, mat: np.ndarray) -> None:
+        nonlocal pos
+        off[name] = pos
+        blocks.append(mat.reshape(-1, DL))
+        pos += mat.reshape(-1, DL).shape[0]
+
+    if has_HLre:
+        _push("HLre", so.HL_re * scale)
+    if has_HLim:
+        _push("HLim", so.HL_im * scale)
+    if A_re:
+        _push("cre", so.cross_re_L)
+    if A_im:
+        _push("cim", so.cross_im_L)
+
+    def _pre(mat: np.ndarray):
+        return jnp.asarray(_split_host(np.ascontiguousarray(mat), b, L))
+
+    Lcat = _pre(np.concatenate(blocks, axis=0)) if blocks else None
+    diag_ext = _pre(so.diag * scale) if has_diag else None
+    # cross R stacks kept UNFLATTENED (L, A, DR, DR): the k-contraction
+    # slice per device is a dynamic_slice on axis 2
+    CreR4 = (
+        _pre(np.transpose(so.cross_re_R * scale, (0, 2, 1)))  # (A, DRk, DRout)
+        if A_re else None
+    )
+    CimR4 = (
+        _pre(np.transpose(so.cross_im_R * scale, (0, 2, 1)))
+        if A_im else None
+    )
+
+    rblocks: list[np.ndarray] = []
+    roff: dict[str, int] = {}
+    rpos = 0
+    if has_HRre:
+        roff["HRre"] = rpos
+        rblocks.append(so.HR_re.T * scale)
+        rpos += DR
+    if has_HRim:
+        roff["HRim"] = rpos
+        rblocks.append(so.HR_im.T * scale)
+        rpos += DR
+    Rcat = _pre(np.concatenate(rblocks, axis=1)) if rblocks else None
+
+    def _slice_rows(dig, name: str, rows: int):
+        return jax.lax.dynamic_slice_in_dim(dig, off[name], rows, axis=1)
+
+    def _psum_canonical(dig):
+        """Local digits -> canonical -> exact integer psum -> canonical.
+
+        Carrying BEFORE the collective bounds each limb at ~2^bits, so the
+        sum over n_shards devices stays exact in i32; carrying after
+        renormalizes.  Value = sum of local partial values, exactly.
+        """
+        can = ops.carry(dig)  # (L+G, ...) int8 canonical
+        tot = jax.lax.psum(can.astype(jnp.int32), axis)
+        return tot
+
+    def apply_local(t_re: jnp.ndarray, t_im: jnp.ndarray):
+        k0 = jax.lax.axis_index(axis) * DRl
+        dig_re = None
+        dig_im = None
+
+        def _acc(cur, d):
+            return d if cur is None else cur + d
+
+        if has_diag:
+            dloc = jax.lax.dynamic_slice_in_dim(diag_ext, k0, DRl, axis=2)
+            dig_re = _acc(dig_re, _ew_digits(dloc, t_re, L))
+            dig_im = _acc(dig_im, _ew_digits(dloc, t_im, L))
+
+        cross_re = cross_im = None
+        if Lcat is not None:
+            zr = _product_digits(Lcat, t_re, L, DL, b)  # (L+G, R_total, DRl)
+            zi = _product_digits(Lcat, t_im, L, DL, b)
+            if has_HLre:
+                dig_re = _acc(dig_re, _slice_rows(zr, "HLre", DL))
+                dig_im = _acc(dig_im, _slice_rows(zi, "HLre", DL))
+            if has_HLim:
+                dig_re = _acc(dig_re, -_slice_rows(zi, "HLim", DL))
+                dig_im = _acc(dig_im, _slice_rows(zr, "HLim", DL))
+
+            def _cross_partial(dig_plane, name, A_n, R4):
+                # k-local second stage for ALL output columns
+                Zc = ops.carry(_slice_rows(dig_plane, name, A_n * DL))[:L]
+                Zt = jnp.transpose(
+                    Zc.reshape(L, A_n, DL, DRl), (0, 2, 1, 3)
+                ).reshape(L, DL, A_n * DRl)
+                Rk = jax.lax.dynamic_slice_in_dim(
+                    R4, k0, DRl, axis=2
+                ).reshape(L, A_n * DRl, DR)
+                return _product_digits(Zt, Rk, L, A_n * DRl, b)
+
+            if A_re:
+                cross_re = _acc(cross_re, _cross_partial(zr, "cre", A_re, CreR4))
+                cross_im = _acc(cross_im, _cross_partial(zi, "cre", A_re, CreR4))
+            if A_im:
+                cross_re = _acc(
+                    cross_re, -_cross_partial(zi, "cim", A_im, CimR4))
+                cross_im = _acc(
+                    cross_im, _cross_partial(zr, "cim", A_im, CimR4))
+
+        right_re = right_im = None
+        if Rcat is not None:
+            Rk = jax.lax.dynamic_slice_in_dim(Rcat, k0, DRl, axis=1)
+            right_re = _product_digits(t_re, Rk, L, DRl, b)  # (L+G, DL, rpos)
+            right_im = _product_digits(t_im, Rk, L, DRl, b)
+
+        # ---- one fused collective: concat the global-contraction partials,
+        # carry->psum->slice own columns ----
+        parts_re = [p for p in (cross_re, right_re) if p is not None]
+        parts_im = [p for p in (cross_im, right_im) if p is not None]
+        if parts_re:
+            glob_re = _psum_canonical(jnp.concatenate(parts_re, axis=2))
+            glob_im = _psum_canonical(jnp.concatenate(parts_im, axis=2))
+
+            def _take(glob, start):
+                return jax.lax.dynamic_slice_in_dim(glob, start, DRl, axis=2)
+
+            col = 0
+            if cross_re is not None:
+                dig_re = _acc(dig_re, _take(glob_re, col + k0))
+                dig_im = _acc(dig_im, _take(glob_im, col + k0))
+                col += DR
+            if right_re is not None:
+                if has_HRre:
+                    dig_re = _acc(dig_re, _take(glob_re, col + roff["HRre"] + k0))
+                    dig_im = _acc(dig_im, _take(glob_im, col + roff["HRre"] + k0))
+                if has_HRim:
+                    dig_re = _acc(
+                        dig_re, -_take(glob_im, col + roff["HRim"] + k0))
+                    dig_im = _acc(
+                        dig_im, _take(glob_re, col + roff["HRim"] + k0))
+        return ops.carry(dig_re)[:L], ops.carry(dig_im)[:L]
+
+    return apply_local, so, ops

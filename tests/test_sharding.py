@@ -330,3 +330,31 @@ def test_krylov_traces_assembled_matches_eig():
         np.asarray([model.n_sea_effective]), model.idx_rare,
     )[0]
     assert np.abs(rows[:7] - ref[:7]).max() < 1e-10
+
+
+@requires_8
+@pytest.mark.parametrize("sp", [2, 4])
+def test_cheb_sharded_matches_single_chip(sp):
+    """DR-column-sharded limb-domain Chebyshev stepping
+    (parallel/cheb_sharded.py) vs the single-chip ext tier: the digit
+    arithmetic regroups exactly across the psum, so traces agree to f64
+    roundoff of the (identical) accumulator arithmetic."""
+    from quantumsimulations_tpu.dynamics.cheb_step import chebyshev_step_traces
+    from quantumsimulations_tpu.parallel.cheb_sharded import (
+        chebyshev_step_traces_sharded,
+    )
+
+    p = _params(n_sea=4, t_final=2e-3, steps=24)
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    ref = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        steps_per_dispatch=8, arithmetic="ext",
+    )
+    mesh = make_mesh(sp, sp=sp)
+    rows = chebyshev_step_traces_sharded(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        mesh=mesh, axis="sp", steps_per_dispatch=8,
+    )
+    np.testing.assert_allclose(rows, ref, rtol=0.0, atol=1e-13)
+    assert np.abs(rows[6] - 1.0).max() < 1e-12
