@@ -438,16 +438,18 @@ def _claim_device() -> None:
     wrapper to acknowledge by exiting."""
     stop_file = os.environ.get(
         "QST_STOP_FILE", os.path.join(HERE, ".qst_stop"))
-    pid_file = "/tmp/n13_wrapper.pid"
+    pid_files = ("/tmp/qst_trace_wrapper.pid", "/tmp/n13_wrapper.pid")
 
     def _wrapper_pid():
-        try:
-            with open(pid_file, encoding="utf-8") as f:
-                pid = int(f.read().strip())
-            os.kill(pid, 0)  # liveness probe only; sends no signal
-            return pid
-        except (OSError, ValueError):
-            return None
+        for pid_file in pid_files:
+            try:
+                with open(pid_file, encoding="utf-8") as f:
+                    pid = int(f.read().strip())
+                os.kill(pid, 0)  # liveness probe only; sends no signal
+                return pid
+            except (OSError, ValueError):
+                continue
+        return None
 
     if _wrapper_pid() is None:
         return

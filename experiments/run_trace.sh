@@ -1,0 +1,61 @@
+#!/bin/bash
+# Auto-resume wrapper for a production-horizon cheb-step trace (any n_sea).
+# Generalizes run_n13.sh (the wrapper that carried the measured N=13 run).
+# The engine checkpoints at the configured dispatch cadence
+# (dynamics/cheb_step.py), so each retry resumes losslessly.  Retries are
+# gated on the JSON status (large_bath.py catches exceptions and records
+# status=failed with rc 0).  A wall-clock deadline bounds the whole loop.
+#
+# Usage: N_SEA=14 [QST_CHEB_ARITH=ext] [QST_TRACE_DEADLINE_S=36000] \
+#        bash experiments/run_trace.sh
+set -u
+cd /root/repo
+N_SEA=${N_SEA:-14}
+# spd>1 builds a longer scan program; spd=8 reproducibly crashed the TPU
+# worker at dim 32768 on the f64 tier (compile-side fault class) — spd=1 is
+# the proven setting at dim >= 32768.  Checkpoint cadence keeps the save
+# cost negligible at spd=1 (save every ~40 s, lose <= 30 dispatches).
+export QST_CHEB_STEPS_PER_DISPATCH=${QST_CHEB_STEPS_PER_DISPATCH:-1}
+export QST_CHEB_CKPT_EVERY_DISPATCHES=${QST_CHEB_CKPT_EVERY_DISPATCHES:-30}
+export QST_CHEB_ARITH=${QST_CHEB_ARITH:-ext}
+STOP_FILE=${QST_STOP_FILE:-/root/repo/.qst_stop}
+rm -f "$STOP_FILE"   # a fresh launch owns the device until asked to yield
+# bench.py's cooperative eviction (_claim_device) probes this pid file to
+# know a trace wrapper is live before raising the stop flag
+PID_FILE=/tmp/qst_trace_wrapper.pid
+echo $$ > "$PID_FILE"
+trap 'rm -f "$PID_FILE"' EXIT
+DEADLINE=$(( $(date +%s) + ${QST_TRACE_DEADLINE_S:-36000} ))   # default 10 h
+LOG=/tmp/n${N_SEA}_run.log
+echo "[wrapper] start $(date -Is) n_sea=$N_SEA arith=$QST_CHEB_ARITH deadline_epoch=$DEADLINE" >> "$LOG"
+for i in $(seq 1 60); do
+  now=$(date +%s)
+  left=$(( DEADLINE - now ))
+  if [ "$left" -le 120 ]; then
+    echo "[wrapper] deadline reached, stopping (attempt $i)" >> "$LOG"
+    break
+  fi
+  echo "[wrapper] attempt $i, ${left}s left" >> "$LOG"
+  timeout "$left" python experiments/large_bath.py --cheb-step-only \
+    --n-sea "$N_SEA" --t-final 30.0 --steps 20000 >> "$LOG" 2>&1
+  status=$(python - <<EOF
+import json
+try:
+    d = json.load(open("experiments/large_bath_results.json"))
+    print(d.get("cheb_step_n${N_SEA}", {}).get("status", "missing"))
+except Exception:
+    print("unreadable")
+EOF
+)
+  echo "[wrapper] attempt $i exit status=$status $(date -Is)" >> "$LOG"
+  if [ "$status" = "ok" ]; then
+    echo "[wrapper] DONE" >> "$LOG"
+    break
+  fi
+  if [ -f "$STOP_FILE" ] || [ "$status" = "stopped" ]; then
+    echo "[wrapper] cooperative stop requested; yielding the device" >> "$LOG"
+    break
+  fi
+  sleep 15
+done
+echo "[wrapper] exit $(date -Is)" >> "$LOG"

@@ -327,7 +327,23 @@ def chebyshev_step_traces(
                 print(f"[cheb-step] resume at step {done}/{T}", flush=True)
 
     abort_after = int(os.environ.get("QST_CHEB_ABORT_AFTER_DISPATCHES", "0"))
+    # checkpoint cadence in DISPATCHES: at spd=1 (the stable setting at
+    # dim >= 32768) a per-dispatch save would fetch + write every ~1.4 s;
+    # saving every Nth dispatch bounds the crash-loss window at N dispatches
+    # while keeping the save cost negligible
+    ckpt_every = max(
+        1, int(os.environ.get("QST_CHEB_CKPT_EVERY_DISPATCHES", "1")))
     dispatches = 0
+    saved_done = done
+
+    def _save() -> None:
+        nonlocal saved_done
+        save_ext_advance(
+            ckpt_dir, ckpt_fp, done, flats,
+            np.asarray(p_re).reshape(-1), np.asarray(p_im).reshape(-1),
+        )
+        saved_done = done
+
     t_start = time.perf_counter()
     while done < T:
         n = min(spd, T - done)
@@ -337,19 +353,17 @@ def chebyshev_step_traces(
         del st_re, st_im
         done += n
         dispatches += 1
-        if ckpt_dir and done < T:
-            save_ext_advance(
-                ckpt_dir, ckpt_fp, done, flats,
-                np.asarray(p_re).reshape(-1), np.asarray(p_im).reshape(-1),
-            )
+        if ckpt_dir and done < T and dispatches % ckpt_every == 0:
+            _save()
             if abort_after and dispatches >= abort_after:
                 raise RuntimeError(
                     f"aborted after {dispatches} dispatches "
                     "(QST_CHEB_ABORT_AFTER_DISPATCHES)"
                 )
         if done < T and os.path.exists(_stop_file()):
-            # checkpoint for this dispatch is on disk (just saved above when
-            # ckpt_dir is set); yield the device to whoever raised the flag
+            if ckpt_dir and saved_done < done:
+                _save()  # cadence may have skipped this dispatch
+            # checkpoint for current progress is on disk; yield the device
             raise CooperativeStop(
                 f"stop file {_stop_file()} present at step {done}/{T}"
                 + ("" if ckpt_dir else " (no ckpt_dir: progress NOT saved)")
