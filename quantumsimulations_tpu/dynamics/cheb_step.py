@@ -235,9 +235,11 @@ def chebyshev_step_traces(
     ``arithmetic`` selects the apply's matmul tier (env override
     QST_CHEB_ARITH): "f64" (XLA-emulated f64 dots, default), "limb"
     (exact int8 limb products, f64-split per apply —
-    ops/split_apply_limb.py), or "ext" (recurrence state kept in the
+    ops/split_apply_limb.py), "ext" (recurrence state kept in the
     fixed-grid limb domain, native-int elementwise —
-    ops/split_apply_ext.py).  All tiers agree to f64 roundoff.
+    ops/split_apply_ext.py), or "extp" (the same limb domain through the
+    fused Pallas kernel — ops/limb_kernels.py).  All tiers agree to f64
+    roundoff.
     """
     times = np.asarray(times)
     T = len(times)
@@ -261,10 +263,17 @@ def chebyshev_step_traces(
 
     arith = arithmetic or os.environ.get("QST_CHEB_ARITH", "f64")
     apply_ext = grid_ops = None
-    if arith == "ext":
-        from ..ops.split_apply_ext import make_ext_apply
+    if arith in ("ext", "extp"):
+        if arith == "extp":
+            from ..ops.split_apply_ext import make_ext_apply_pallas
 
-        apply_ext, so, grid_ops = make_ext_apply(H, split=split, scale=1.0 / lam)
+            apply_ext, so, grid_ops = make_ext_apply_pallas(
+                H, split=split, scale=1.0 / lam)
+        else:
+            from ..ops.split_apply_ext import make_ext_apply
+
+            apply_ext, so, grid_ops = make_ext_apply(
+                H, split=split, scale=1.0 / lam)
 
         def apply_ht(p: Cplx) -> Cplx:  # f64 facade (e0 computation only)
             o_re, o_im = apply_ext(grid_ops.split(p.re), grid_ops.split(p.im))
@@ -278,7 +287,8 @@ def chebyshev_step_traces(
         apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
     else:
         raise ValueError(
-            f"unknown arithmetic {arith!r} (use 'f64', 'limb', or 'ext')")
+            f"unknown arithmetic {arith!r} "
+            "(use 'f64', 'limb', 'ext', or 'extp')")
     DL, DR = so.DL, so.DR
 
     spd = steps_per_dispatch or int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "64"))

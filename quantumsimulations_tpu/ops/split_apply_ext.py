@@ -44,6 +44,7 @@ beyond dense reach, as ``arithmetic="ext"`` under dynamics/cheb_step.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable
 
 import jax
@@ -292,6 +293,136 @@ def make_ext_apply(
             if has_HRim:
                 dig_re = _acc(dig_re, -_cols(wi, "HRim"))
                 dig_im = _acc(dig_im, _cols(wr, "HRim"))
+        return ops.carry(dig_re)[:L], ops.carry(dig_im)[:L]
+
+    return apply, so, ops
+
+
+def make_ext_apply_pallas(
+    H: OperatorSum,
+    split: int | None = None,
+    scale: float = 1.0,
+    grid_bits: int = GRID_BITS,
+    grid_limbs: int = GRID_LIMBS,
+    interpret: bool | None = None,
+):
+    """Limb-domain apply through the fused Pallas kernel (tier "extp").
+
+    Same contract as :func:`make_ext_apply` — ``apply(t_re, t_im)`` maps
+    canonical (L, DL, DR) int8 limb stacks to the same — but every product
+    bucket runs through :func:`..limb_kernels.limb_matmul_canon`: digit
+    accumulation + carry fused in VMEM, canonical int8 as the only HBM
+    traffic, and the cross relayout folded into the kernel's output index
+    map (no int8 transpose).  Values match the XLA tier to the grid
+    resolution (per-bucket vs post-sum truncation differ below 2^-54).
+    """
+    from .limb_kernels import limb_matmul_canon
+
+    so = split_operator(H, split)
+    DL, DR = so.DL, so.DR
+    b = grid_bits
+    L = grid_limbs
+    ops = _make_grid_ops(b, L)
+
+    has_diag = bool(np.any(so.diag))
+    has_HLre = bool(np.any(so.HL_re))
+    has_HLim = bool(np.any(so.HL_im))
+    has_HRre = bool(np.any(so.HR_re))
+    has_HRim = bool(np.any(so.HR_im))
+    A_re = so.cross_re_L.shape[0]
+    A_im = so.cross_im_L.shape[0]
+
+    def _pre(mat: np.ndarray):
+        return jnp.asarray(_split_host(np.ascontiguousarray(mat), b, L))
+
+    # HL bucket: both planes stacked on the M axis -> one kernel call
+    hl_blocks = []
+    hl_off = {}
+    if has_HLre:
+        hl_off["HLre"] = len(hl_blocks) * DL
+        hl_blocks.append(so.HL_re * scale)
+    if has_HLim:
+        hl_off["HLim"] = len(hl_blocks) * DL
+        hl_blocks.append(so.HL_im * scale)
+    HLcat = _pre(np.concatenate(hl_blocks, axis=0)) if hl_blocks else None
+
+    # cross buckets: L-operand stacked (A * DL, DL); R stacks flattened
+    # (A * DR, DR) transposed, scale folded into R
+    CreL = _pre(so.cross_re_L.reshape(A_re * DL, DL)) if A_re else None
+    CreRt = (
+        _pre(np.transpose(so.cross_re_R * scale, (0, 2, 1)).reshape(A_re * DR, DR))
+        if A_re else None
+    )
+    CimL = _pre(so.cross_im_L.reshape(A_im * DL, DL)) if A_im else None
+    CimRt = (
+        _pre(np.transpose(so.cross_im_R * scale, (0, 2, 1)).reshape(A_im * DR, DR))
+        if A_im else None
+    )
+
+    diag_ext = _pre(so.diag * scale) if has_diag else None
+
+    rblocks = []
+    roff = {}
+    rpos = 0
+    if has_HRre:
+        roff["HRre"] = rpos
+        rblocks.append(so.HR_re.T * scale)
+        rpos += DR
+    if has_HRim:
+        roff["HRim"] = rpos
+        rblocks.append(so.HR_im.T * scale)
+        rpos += DR
+    Rcat = _pre(np.concatenate(rblocks, axis=1)) if rblocks else None
+
+    S = L + GRID_GUARD
+    kmm = partial(limb_matmul_canon, bits=b, interpret=interpret)
+
+    def _cross_one(Lst, Rt, A_n, t_plane):
+        """One cross bucket for one input plane -> canonical (L, DL, DR)."""
+        # transpose_out: M-tile a's (DL, DR) product lands at columns
+        # [a*DR, (a+1)*DR) -> the (L, DL, A*DR) second-stage layout directly
+        Z = kmm(Lst, t_plane, tm=DL, transpose_out=True)
+        return kmm(Z, Rt)
+
+    def apply(t_re: jnp.ndarray, t_im: jnp.ndarray):
+        dig_re = jnp.zeros((S, DL, DR), jnp.int32)
+        dig_im = jnp.zeros((S, DL, DR), jnp.int32)
+
+        def _addc(dig, can, sign=1):
+            """Accumulate a canonical (L, ...) stack onto the digit grid."""
+            return dig.at[:L].add(sign * can.astype(jnp.int32))
+
+        if has_diag:
+            dig_re = dig_re + _ew_digits(diag_ext, t_re, L)
+            dig_im = dig_im + _ew_digits(diag_ext, t_im, L)
+        if HLcat is not None:
+            bcat = jnp.concatenate([t_re, t_im], axis=2)  # (L, DL, 2*DR)
+            z = kmm(HLcat, bcat)  # (L, n_hl*DL, 2*DR)
+            if has_HLre:
+                o = hl_off["HLre"]
+                dig_re = _addc(dig_re, z[:, o:o + DL, :DR])
+                dig_im = _addc(dig_im, z[:, o:o + DL, DR:])
+            if has_HLim:  # (i * HL_im) term rotates the planes
+                o = hl_off["HLim"]
+                dig_re = _addc(dig_re, z[:, o:o + DL, DR:], -1)
+                dig_im = _addc(dig_im, z[:, o:o + DL, :DR])
+        if A_re:
+            dig_re = _addc(dig_re, _cross_one(CreL, CreRt, A_re, t_re))
+            dig_im = _addc(dig_im, _cross_one(CreL, CreRt, A_re, t_im))
+        if A_im:
+            dig_re = _addc(dig_re, _cross_one(CimL, CimRt, A_im, t_im), -1)
+            dig_im = _addc(dig_im, _cross_one(CimL, CimRt, A_im, t_re))
+        if Rcat is not None:
+            acat = jnp.concatenate([t_re, t_im], axis=1)  # (L, 2*DL, DR)
+            w = kmm(acat, Rcat)  # (L, 2*DL, rpos)
+            if has_HRre:
+                o = roff["HRre"]
+                dig_re = _addc(dig_re, w[:, :DL, o:o + DR])
+                dig_im = _addc(dig_im, w[:, DL:, o:o + DR])
+            if has_HRim:
+                o = roff["HRim"]
+                dig_re = _addc(dig_re, w[:, DL:, o:o + DR], -1)
+                dig_im = _addc(dig_im, w[:, :DL, o:o + DR])
         return ops.carry(dig_re)[:L], ops.carry(dig_im)[:L]
 
     return apply, so, ops
