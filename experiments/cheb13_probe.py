@@ -42,7 +42,8 @@ def main() -> None:
     ap.add_argument("--n-sea", type=int, default=13)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--spd", type=int, default=2)
-    ap.add_argument("--arith", default="f64", choices=["f64", "limb", "ext"])
+    ap.add_argument("--arith", default="f64",
+                    choices=["f64", "limb", "ext", "extp"])
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)

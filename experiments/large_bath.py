@@ -299,6 +299,14 @@ def main() -> None:
         key = f"cheb_step_n{args.n_sea}"
         from quantumsimulations_tpu.dynamics.cheb_step import CooperativeStop
 
+        # Mark the attempt BEFORE launching: a hard kill (timeout, OOM,
+        # worker crash taking the process with it) must not leave a stale
+        # "ok" from an earlier probe of the same n_sea — the auto-resume
+        # wrapper (run_trace.sh) gates retries on this status.
+        results[key] = {
+            "engine": "cheb-step", "n_sea": args.n_sea, "status": "running",
+        }
+        _save()
         try:
             results[key] = run_cheb_step(args.n_sea, args.t_final, args.steps)
         except CooperativeStop as exc:

@@ -37,7 +37,26 @@ for i in $(seq 1 60); do
   fi
   echo "[wrapper] attempt $i, ${left}s left" >> "$LOG"
   timeout "$left" python experiments/large_bath.py --cheb-step-only \
-    --n-sea "$N_SEA" --t-final 30.0 --steps 20000 >> "$LOG" 2>&1
+    --n-sea "$N_SEA" --t-final 30.0 --steps 20000 >> "$LOG" 2>&1 &
+  RUN_PID=$!
+  # Stall watchdog: a dispatch blocked on a dead tunnel/worker hangs the
+  # client forever without tripping `timeout` (observed 2026-08-19: n14
+  # stalled 9+ min mid-step with 0 CPU).  Progress prints land in $LOG every
+  # dispatch (~1-15 s); no log growth for STALL_S means the attempt is dead —
+  # kill it (checkpointed progress makes the retry lossless).
+  STALL_S=${QST_STALL_S:-600}
+  while kill -0 "$RUN_PID" 2>/dev/null; do
+    sleep 30
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$age" -ge "$STALL_S" ]; then
+      echo "[wrapper] STALL: no log progress for ${age}s, killing attempt $i" >> "$LOG"
+      kill "$RUN_PID" 2>/dev/null
+      sleep 10
+      kill -9 "$RUN_PID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$RUN_PID" 2>/dev/null
   status=$(python - <<EOF
 import json
 try:
