@@ -308,10 +308,11 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
 
 def bench_n13_steps() -> dict:
     """Beyond-dense-reach throughput: n_sea=13 (dim 16384) Chebyshev
-    stepping on the limb-domain apply (the engine that produced the full
-    measured N=13 production trace, docs/ROUND4.md), at the production
-    output spacing.  One warm-up dispatch (compile + executable load),
-    then a measured 8-step dispatch — steady-state steps/s, fetch-synced.
+    stepping on the fused-Pallas limb-domain apply (tier "extp" — the
+    shipped TPU default; the engine family that produced the full measured
+    N=13 production trace, docs/ROUND4.md), at the production output
+    spacing.  One warm-up dispatch (compile + executable load), then a
+    measured 8-step dispatch — steady-state steps/s, fetch-synced.
     """
     import jax.numpy as jnp
 
@@ -321,7 +322,7 @@ def bench_n13_steps() -> dict:
     )
     from quantumsimulations_tpu.dynamics.chebyshev import chebyshev_coefficients
     from quantumsimulations_tpu.models.dipolar import build_model
-    from quantumsimulations_tpu.ops.split_apply_ext import make_ext_apply
+    from quantumsimulations_tpu.ops.split_apply_ext import make_ext_apply_pallas
 
     p = _params_production(13, 1000.0, True, True, 30.0, 20_000)
     model = build_model(p)
@@ -335,7 +336,7 @@ def bench_n13_steps() -> dict:
     c_re[: len(C)] = np.real(C)
     c_im[: len(C)] = np.imag(C)
 
-    apply_ext, so, _ops = make_ext_apply(model.hamiltonian, scale=1.0 / lam)
+    apply_ext, so, _ops = make_ext_apply_pallas(model.hamiltonian, scale=1.0 / lam)
     run = _make_step_scan_ext(apply_ext, _ops, K)
     crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
     p_re = jnp.asarray(model.psi0.real.reshape(so.DL, so.DR))

@@ -210,6 +210,14 @@ def _rows_of_stack(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
     return rows.T.reshape(-1)
 
 
+def _default_arith(backend: str) -> str:
+    """Measured-best apply tier per backend (BASELINE.md arithmetic ladder,
+    dim 16384 at the production dt): on TPU, "extp" (fused Pallas
+    limb-domain kernel, ~2.9 steps/s) > "ext" (1.54) > "f64" (0.601); on
+    CPU the Pallas tiers run in interpreter mode, so plain f64 dots win."""
+    return "extp" if backend in ("tpu", "axon") else "f64"
+
+
 def chebyshev_step_traces(
     H: OperatorSum,
     psi0: np.ndarray,
@@ -233,7 +241,8 @@ def chebyshev_step_traces(
     rerun with the same arguments resumes bit-identically.
 
     ``arithmetic`` selects the apply's matmul tier (env override
-    QST_CHEB_ARITH): "f64" (XLA-emulated f64 dots, default), "limb"
+    QST_CHEB_ARITH; default: "extp" on TPU backends, "f64" elsewhere —
+    the measured winners): "f64" (XLA-emulated f64 dots), "limb"
     (exact int8 limb products, f64-split per apply —
     ops/split_apply_limb.py), "ext" (recurrence state kept in the
     fixed-grid limb domain, native-int elementwise —
@@ -261,7 +270,9 @@ def chebyshev_step_traces(
     c_re[: len(C)] = np.real(C)
     c_im[: len(C)] = np.imag(C)
 
-    arith = arithmetic or os.environ.get("QST_CHEB_ARITH", "f64")
+    arith = arithmetic or os.environ.get("QST_CHEB_ARITH") or _default_arith(
+        jax.default_backend()
+    )
     apply_ext = grid_ops = None
     if arith in ("ext", "extp"):
         if arith == "extp":
