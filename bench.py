@@ -306,55 +306,59 @@ def bench_n12(t_final: float = 30.0, steps: int = 20_000) -> dict:
             "warmup_wall": warmup_wall, "warmup_norm_drift": warm_drift}
 
 
-def bench_n13_steps() -> dict:
+def bench_n13_steps(measured_steps: int = 24) -> dict:
     """Beyond-dense-reach throughput: n_sea=13 (dim 16384) Chebyshev
-    stepping on the fused-Pallas limb-domain apply (tier "extp" — the
-    shipped TPU default; the engine family that produced the full measured
-    N=13 production trace, docs/ROUND4.md), at the production output
-    spacing.  One warm-up dispatch (compile + executable load), then a
-    measured 8-step dispatch — steady-state steps/s, fetch-synced.
+    stepping at the production output spacing, THROUGH THE PUBLIC
+    ``chebyshev_step_traces`` at its shipped defaults (arithmetic tier and
+    steps_per_dispatch exactly as a `simulate_rare` user gets them) — the
+    engine that produced the full measured N=13 production trace
+    (docs/ROUND4.md).  One warm-up call with perturbed psi0 (compile +
+    executable loads + host prep), then a measured call: end-to-end wall of
+    ``measured_steps`` production-dt steps including assembled-row fetches,
+    reported as steps/s.  The spectral bound is computed once and passed to
+    both calls (``norm_bound`` is a public parameter; any real trace
+    computes it once for 20,000 steps, so the measured pass charging it
+    again would double-count host work the workload amortizes away).
     """
-    import jax.numpy as jnp
-
     from quantumsimulations_tpu.dynamics.cheb_step import (
         _lambda_bound,
-        _make_step_scan_ext,
+        chebyshev_step_traces,
     )
-    from quantumsimulations_tpu.dynamics.chebyshev import chebyshev_coefficients
     from quantumsimulations_tpu.models.dipolar import build_model
-    from quantumsimulations_tpu.ops.split_apply_ext import make_ext_apply_pallas
 
     p = _params_production(13, 1000.0, True, True, 30.0, 20_000)
     model = build_model(p)
     dim = int(np.prod(model.dims))
     dt = 30.0 / 19_999
-    lam = _lambda_bound(model.hamiltonian, dim)
-    C = chebyshev_coefficients(lam, np.asarray([dt]))[0]
-    K = max(2, len(C))
-    c_re = np.zeros(K)
-    c_im = np.zeros(K)
-    c_re[: len(C)] = np.real(C)
-    c_im[: len(C)] = np.imag(C)
-
-    apply_ext, so, _ops = make_ext_apply_pallas(model.hamiltonian, scale=1.0 / lam)
-    run = _make_step_scan_ext(apply_ext, _ops, K)
-    crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
-    p_re = jnp.asarray(model.psi0.real.reshape(so.DL, so.DR))
-    p_im = jnp.asarray(model.psi0.imag.reshape(so.DL, so.DR))
-
-    log(f"n13 workload: dim {dim}, K={K} terms/step, warm-up + 8 measured steps")
     t0 = time.perf_counter()
-    p_re, p_im, _, _ = run(p_re, p_im, crd, cid, 2)
-    _ = np.asarray(p_re)[0, 0]  # value fetch = honest sync
+    lam = _lambda_bound(model.hamiltonian, dim)
+    lam_wall = time.perf_counter() - t0
+
+    def run_steps(n_steps: int, psi0: np.ndarray) -> np.ndarray:
+        times = dt * np.arange(n_steps)
+        return chebyshev_step_traces(
+            model.hamiltonian, psi0, times, model.dims,
+            model.n_sea_effective, model.idx_rare, norm_bound=lam,
+        )
+
+    log(f"n13 workload: dim {dim}, public chebyshev_step_traces at shipped "
+        f"defaults; warm-up + {measured_steps} measured steps "
+        f"(lambda bound {lam_wall:.1f}s host)")
+    warm_psi = model.psi0 * complex(1.0, 1e-9)
+    warm_psi /= np.linalg.norm(warm_psi)
+    t0 = time.perf_counter()
+    run_steps(8, warm_psi)
     warmup_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    p_re, p_im, _, _ = run(p_re, p_im, crd, cid, 8)
-    nrm = float(np.sqrt(np.asarray(jnp.sum(p_re * p_re + p_im * p_im))))
+    rows = run_steps(measured_steps, model.psi0)
     wall = time.perf_counter() - t0
-    log(f"n13: 8 steps in {wall:.2f}s -> {8 / wall:.3f} steps/s "
-        f"(warm-up {warmup_wall:.1f}s), norm {nrm:.12f}")
-    return {"wall": wall, "steps": 8, "dim": dim, "terms_per_step": K,
-            "norm_drift": abs(nrm - 1.0), "warmup_wall": warmup_wall}
+    norm_drift = float(np.abs(rows[6] - 1.0).max())
+    log(f"n13: {measured_steps} steps in {wall:.2f}s -> "
+        f"{measured_steps / wall:.3f} steps/s (warm-up {warmup_wall:.1f}s), "
+        f"norm drift {norm_drift:.1e}")
+    return {"wall": wall, "steps": measured_steps, "dim": dim,
+            "norm_drift": norm_drift, "warmup_wall": warmup_wall,
+            "lambda_wall": lam_wall}
 
 
 # ---------------------------------------------------------------------------

@@ -168,10 +168,13 @@ def run_cheb_step(n_sea: int, t_final: float, steps: int) -> dict:
     every dispatch boundary, so a killed run resumes losslessly — this is
     the multi-hour measured N=13 run (VERDICT r3 missing #1)."""
     from quantumsimulations_tpu.dynamics.cheb_step import (
+        _default_arith,
         _lambda_bound,
         chebyshev_step_traces,
     )
 
+    arith = os.environ.get("QST_CHEB_ARITH") or _default_arith(
+        jax.default_backend())
     p = production_params(n_sea, t_final, steps)
     model = build_model(p)
     dim = int(np.prod(model.dims))
@@ -195,7 +198,7 @@ def run_cheb_step(n_sea: int, t_final: float, steps: int) -> dict:
     )
     out = {
         "engine": "cheb-step", "status": "ok",
-        "arithmetic": os.environ.get("QST_CHEB_ARITH", "f64"),
+        "arithmetic": arith,
         "n_sea": n_sea, "dim": dim,
         "t_final": t_final, "steps": steps, "wall_s": round(wall, 1),
         "wall_h": round(wall / 3600, 2), "norm_drift": drift,

@@ -212,10 +212,97 @@ def _rows_of_stack(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
 
 def _default_arith(backend: str) -> str:
     """Measured-best apply tier per backend (BASELINE.md arithmetic ladder,
-    dim 16384 at the production dt): on TPU, "extp" (fused Pallas
-    limb-domain kernel, ~2.9 steps/s) > "ext" (1.54) > "f64" (0.601); on
-    CPU the Pallas tiers run in interpreter mode, so plain f64 dots win."""
-    return "extp" if backend in ("tpu", "axon") else "f64"
+    dim 16384 warm steps/s at the production dt): on TPU, "ext" (limb-domain
+    10x6 grid, 1.54 steps/s) > "f64" (0.601); the fused-Pallas "extp" tier
+    measured SLOWER on hardware in the round-4 driver run (0.355 steps/s,
+    BENCH_r04.json) and stays opt-in until a recorded measurement beats
+    "ext".  On CPU the limb tiers run emulated, so plain f64 dots win."""
+    return "ext" if backend in ("tpu", "axon") else "f64"
+
+
+_ENGINE_CACHE: dict = {}
+_ENGINE_CACHE_MAX = 8
+
+
+def _engine_for(H: OperatorSum, lam: float, arith: str, split: int | None):
+    """Build (or reuse) the apply + scan for one (H, lambda, tier) engine.
+
+    Repeated ``chebyshev_step_traces`` calls on the same operator (warm-up
+    then measure; multi-segment resumes; sweeps re-solving variants) would
+    otherwise rebuild the host limb split, re-upload the operator planes,
+    and re-trace the jitted scan — on this backend a fresh executable's
+    first dispatch pays a 40-260 s load (docs/ROUND4.md), so reuse is the
+    difference between steady-state stepping and paying the warm-up wall on
+    every call.  Keyed by the H object's identity (entries hold a strong
+    reference, so ids cannot be recycled while cached); bounded FIFO.
+    """
+    key = (id(H), float(lam), arith, split)
+    hit = _ENGINE_CACHE.get(key)
+    if hit is not None and hit["H"] is H:
+        return hit
+    entry: dict = {"H": H, "runs": {}}
+    if arith in ("ext", "extp"):
+        if arith == "extp":
+            from ..ops.split_apply_ext import make_ext_apply_pallas
+
+            apply_ext, so, grid_ops = make_ext_apply_pallas(
+                H, split=split, scale=1.0 / lam)
+        else:
+            from ..ops.split_apply_ext import make_ext_apply
+
+            apply_ext, so, grid_ops = make_ext_apply(
+                H, split=split, scale=1.0 / lam)
+
+        def apply_ht(p: Cplx) -> Cplx:  # f64 facade (e0 computation only)
+            o_re, o_im = apply_ext(grid_ops.split(p.re), grid_ops.split(p.im))
+            return Cplx(grid_ops.val(o_re), grid_ops.val(o_im))
+
+        entry.update(apply_ht=apply_ht, apply_ext=apply_ext,
+                     grid_ops=grid_ops, so=so)
+    elif arith == "limb":
+        from ..ops.split_apply_limb import make_split_apply_limb
+
+        apply_ht, so = make_split_apply_limb(H, split=split, scale=1.0 / lam)
+        entry.update(apply_ht=apply_ht, apply_ext=None, grid_ops=None, so=so)
+    elif arith == "f64":
+        apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
+        entry.update(apply_ht=apply_ht, apply_ext=None, grid_ops=None, so=so)
+    else:
+        raise ValueError(
+            f"unknown arithmetic {arith!r} "
+            "(use 'f64', 'limb', 'ext', or 'extp')")
+    while len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+        _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
+    _ENGINE_CACHE[key] = entry
+    return entry
+
+
+def _engine_run(entry: dict, K: int):
+    """The jitted n-step scan for one engine at K terms/step (cached)."""
+    run = entry["runs"].get(K)
+    if run is None:
+        if entry["apply_ext"] is not None:
+            run = _make_step_scan_ext(entry["apply_ext"], entry["grid_ops"], K)
+        else:
+            so = entry["so"]
+            run = _make_step_scan(entry["apply_ht"], so.DL, so.DR, K)
+        entry["runs"][K] = run
+    return run
+
+
+def _default_steps_per_dispatch(dim: int) -> int:
+    """Measured-SAFE dispatch sizing per Hilbert dim (docs/ROUND4.md fault
+    record): device programs past ~60 s reproducibly crash the TPU worker on
+    this backend — spd=64 crashes at dim 16384 and spd=8 crashes at dim
+    32768, while 64/8/1 at dims 8192/16384/32768 are stable across multi-hour
+    runs (the committed N=13/N=14 traces).  The table keeps the PUBLIC API
+    (simulate_rare at auto settings) inside the proven envelope; explicit
+    ``steps_per_dispatch`` or QST_CHEB_STEPS_PER_DISPATCH still override."""
+    if dim <= 8192:
+        return 64
+    if dim <= 16384:
+        return 8
+    return 1
 
 
 def chebyshev_step_traces(
@@ -235,13 +322,14 @@ def chebyshev_step_traces(
     """Assembled rows (8, T), TRACE_ROWS layout — same contract as
     eig_traces_assembled_batched / expm_traces_assembled_ext.
 
-    ``steps_per_dispatch`` bounds each device program's duration (env
+    ``steps_per_dispatch`` bounds each device program's duration (default:
+    the dim-aware measured-safe table in _default_steps_per_dispatch; env
     override QST_CHEB_STEPS_PER_DISPATCH); with ``ckpt_dir`` set, the exact
     state + computed rows are snapshotted at every dispatch boundary and a
     rerun with the same arguments resumes bit-identically.
 
     ``arithmetic`` selects the apply's matmul tier (env override
-    QST_CHEB_ARITH; default: "extp" on TPU backends, "f64" elsewhere —
+    QST_CHEB_ARITH; default: "ext" on TPU backends, "f64" elsewhere —
     the measured winners): "f64" (XLA-emulated f64 dots), "limb"
     (exact int8 limb products, f64-split per apply —
     ops/split_apply_limb.py), "ext" (recurrence state kept in the
@@ -273,36 +361,14 @@ def chebyshev_step_traces(
     arith = arithmetic or os.environ.get("QST_CHEB_ARITH") or _default_arith(
         jax.default_backend()
     )
-    apply_ext = grid_ops = None
-    if arith in ("ext", "extp"):
-        if arith == "extp":
-            from ..ops.split_apply_ext import make_ext_apply_pallas
-
-            apply_ext, so, grid_ops = make_ext_apply_pallas(
-                H, split=split, scale=1.0 / lam)
-        else:
-            from ..ops.split_apply_ext import make_ext_apply
-
-            apply_ext, so, grid_ops = make_ext_apply(
-                H, split=split, scale=1.0 / lam)
-
-        def apply_ht(p: Cplx) -> Cplx:  # f64 facade (e0 computation only)
-            o_re, o_im = apply_ext(grid_ops.split(p.re), grid_ops.split(p.im))
-            return Cplx(grid_ops.val(o_re), grid_ops.val(o_im))
-
-    elif arith == "limb":
-        from ..ops.split_apply_limb import make_split_apply_limb
-
-        apply_ht, so = make_split_apply_limb(H, split=split, scale=1.0 / lam)
-    elif arith == "f64":
-        apply_ht, so = make_split_apply(H, split=split, scale=1.0 / lam)
-    else:
-        raise ValueError(
-            f"unknown arithmetic {arith!r} "
-            "(use 'f64', 'limb', 'ext', or 'extp')")
+    engine = _engine_for(H, lam, arith, split)
+    apply_ht = engine["apply_ht"]
+    so = engine["so"]
     DL, DR = so.DL, so.DR
 
-    spd = steps_per_dispatch or int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "64"))
+    spd = steps_per_dispatch or int(
+        os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "0")
+    ) or _default_steps_per_dispatch(dim)
     spd = max(1, min(spd, T))
 
     sea_mask = jnp.asarray(
@@ -317,10 +383,7 @@ def chebyshev_step_traces(
         jnp.sum(p0.re * h0.re + p0.im * h0.im)
     ))  # <H> at t=0, conserved under the (unitary) propagation
 
-    if apply_ext is not None:
-        run = _make_step_scan_ext(apply_ext, grid_ops, K)
-    else:
-        run = _make_step_scan(apply_ht, DL, DR, K)
+    run = _engine_run(engine, K)
     crd, cid = jnp.asarray(c_re), jnp.asarray(c_im)
 
     done = 0

@@ -200,17 +200,32 @@ def save_ext_advance(
 def load_ext_advance(ckpt_dir: str, fingerprint: dict):
     """(done_blocks, rows_flats, s_re_flat, s_im_flat) or None.
 
-    A snapshot with a mismatched fingerprint (different workload) is ignored;
-    a corrupt file restarts from scratch rather than resuming wrong.
+    A snapshot with a mismatched fingerprint (different workload) is ignored
+    — LOUDLY, printing the differing keys: a silent None here would restart
+    a multi-hour trace from step 0 (e.g. after an arithmetic-tier default
+    change altered the fingerprint of an in-flight run).  A corrupt file
+    restarts from scratch rather than resuming wrong.
     """
     path = _ext_advance_path(ckpt_dir)
     if not os.path.isfile(path):
         return None
     try:
         data = np.load(path)
-        if json.loads(str(data["fingerprint"])) != json.loads(
-            json.dumps(fingerprint, sort_keys=True)
-        ):
+        saved = json.loads(str(data["fingerprint"]))
+        want = json.loads(json.dumps(fingerprint, sort_keys=True))
+        if saved != want:
+            diff = {
+                k: (saved.get(k), want.get(k))
+                for k in sorted(set(saved) | set(want))
+                if saved.get(k) != want.get(k)
+            }
+            print(
+                f"[checkpoint] WARNING: snapshot at {path} does not match "
+                f"this run (saved vs requested: {diff}); restarting from "
+                "step 0 — pass matching arguments (e.g. the original "
+                "arithmetic tier) to resume it",
+                flush=True,
+            )
             return None
         done = int(data["done_blocks"])
         n_flats = int(data["n_flats"])

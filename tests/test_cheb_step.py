@@ -260,32 +260,31 @@ def test_simulate_rare_cheb_step_dispatch():
         np.testing.assert_allclose(traces[k], ref[k], rtol=0.0, atol=5e-12)
 
 
-def test_default_arith_per_backend():
+def test_default_arith_per_backend(monkeypatch):
     """The shipped default apply tier tracks the measured winner per backend
-    (BASELINE.md arithmetic ladder): fused-Pallas limb domain on TPU, plain
-    f64 dots elsewhere; QST_CHEB_ARITH / the argument override both."""
+    (BASELINE.md arithmetic ladder, dim 16384 warm steps/s): limb-domain
+    "ext" on TPU, plain f64 dots elsewhere; QST_CHEB_ARITH overrides."""
     from quantumsimulations_tpu.dynamics.cheb_step import _default_arith
 
-    assert _default_arith("tpu") == "extp"
-    assert _default_arith("axon") == "extp"
+    assert _default_arith("tpu") == "ext"
+    assert _default_arith("axon") == "ext"
     assert _default_arith("cpu") == "f64"
     assert _default_arith("gpu") == "f64"
 
     # env override wins over the backend default (exercised on CPU where
     # the default would be f64)
-    os.environ["QST_CHEB_ARITH"] = "ext"
-    try:
-        p = _params(n_sea=3, steps=6, t_final=2e-4)
-        m = build_model(p)
-        t = np.linspace(0.0, p.t_final, p.steps)
-        rows = chebyshev_step_traces(
-            m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
-            steps_per_dispatch=6,
-        )
-        evals, evecs = eigh_host(m.hamiltonian, int(np.prod(m.dims)))
-        ref = eig_traces_assembled_batched(
-            evals, evecs, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
-        np.testing.assert_allclose(
-            rows.reshape(-1, 8).T, np.asarray(ref), rtol=0.0, atol=1e-11)
-    finally:
-        del os.environ["QST_CHEB_ARITH"]
+    monkeypatch.setenv("QST_CHEB_ARITH", "ext")
+    p = _params(n_sea=3, steps=6, t_final=2e-4)
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, p.steps)
+    rows = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare,
+        steps_per_dispatch=6,
+    )
+    w, V = eigh_host(m.hamiltonian.to_dense())
+    ref = eig_traces_assembled_batched(
+        w[None], V[None], m.psi0[None], t, m.dims,
+        np.asarray([m.n_sea_effective]), m.idx_rare,
+    )[0]
+    np.testing.assert_allclose(rows[:7], ref[:7], rtol=0.0, atol=1e-11)
+    np.testing.assert_allclose(rows[7], ref[7, 0], rtol=1e-9)
