@@ -136,6 +136,13 @@ def bench_sweep_n6(t_final: float, steps: int) -> dict:
     (faking the measurement), and reporting steady-state throughput requires
     the measured pass to do real work.  Cold-compile cost is reported
     separately as ``warmup_wall``.
+
+    Transfer format: on TPU backends the trace download uses the byte-packed
+    format (eig_propagator._PACK_BITS: 48-bit fixed-point observables +
+    f32 norm/energy residuals, quantization <= 6e-14 at this workload — the
+    propagator's own f64 phase floor; the tunnel is byte-limited at
+    ~12-17 MB/s, experiments/fetch_probe.json).  Full-fidelity rows land on
+    the host inside the measured wall; nothing is deferred.
     """
     from quantumsimulations_tpu.dynamics.eig_propagator import (
         eig_traces_assembled_batched,

@@ -211,13 +211,18 @@ def _rows_of_stack(st_re, st_im, sea_mask, e0, dims, idx_rare: int):
 
 
 def _default_arith(backend: str) -> str:
-    """Measured-best apply tier per backend (BASELINE.md arithmetic ladder,
-    dim 16384 warm steps/s at the production dt): on TPU, "ext" (limb-domain
-    10x6 grid, 1.54 steps/s) > "f64" (0.601); the fused-Pallas "extp" tier
-    measured SLOWER on hardware in the round-4 driver run (0.355 steps/s,
-    BENCH_r04.json) and stays opt-in until a recorded measurement beats
-    "ext".  On CPU the limb tiers run emulated, so plain f64 dots win."""
-    return "ext" if backend in ("tpu", "axon") else "f64"
+    """Measured-best apply tier per backend.  Same-harness ladder through
+    the public ``chebyshev_step_traces`` at shipped dispatch sizing, warm
+    steps/s at dim 16384 / production dt (recorded:
+    experiments/arith_ladder_n13.json, 2026-08-19, on-hardware): "extp"
+    (fused Pallas limb-domain kernel) 2.242 > "ext" (limb-domain 10x6 grid)
+    0.905 > "f64" (XLA-emulated dots) 0.603; all tiers agree to 7.1e-13
+    over the measured window.  The round-4 driver's 0.355 steps/s for extp
+    (BENCH_r04.json) was the pre-engine-cache harness paying executable
+    load inside the measured window — the cache (``_engine_for``) fixed the
+    measurement, and the number above is the one the default traces to.
+    On CPU the limb tiers run emulated, so plain f64 dots win."""
+    return "extp" if backend in ("tpu", "axon") else "f64"
 
 
 _ENGINE_CACHE: dict = {}
@@ -329,8 +334,9 @@ def chebyshev_step_traces(
     rerun with the same arguments resumes bit-identically.
 
     ``arithmetic`` selects the apply's matmul tier (env override
-    QST_CHEB_ARITH; default: "ext" on TPU backends, "f64" elsewhere —
-    the measured winners): "f64" (XLA-emulated f64 dots), "limb"
+    QST_CHEB_ARITH; default: "extp" on TPU backends, "f64" elsewhere —
+    the measured winners, see _default_arith): "f64" (XLA-emulated f64
+    dots), "limb"
     (exact int8 limb products, f64-split per apply —
     ops/split_apply_limb.py), "ext" (recurrence state kept in the
     fixed-grid limb domain, native-int elementwise —

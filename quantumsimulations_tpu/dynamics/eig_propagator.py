@@ -164,6 +164,78 @@ def _batched_assembled_all_kernel(
     return jax.lax.map(per_chunk, (k_chunks, eps_chunks))
 
 
+# Packed transfer format for the trace download (the tunnel is byte-limited:
+# ~12-17 MB/s single stream, streams multiply only marginally — measured in
+# experiments/fetch_probe.json).  Observable rows ship as 48-bit fixed point
+# (int32 high / uint16 low, per-(sim,row) physics-bound scale: quantization
+# <= scale * 2^-46, ~6e-14 at n6 — the propagator's own f64 phase floor);
+# the norm row ships as (norm - 1) f32 (drift values ~1e-13 keep 7 digits,
+# error ~1e-20) and the energy row as (energy - e0) f32 with e0 = sum w|c|^2
+# f64 per sim (exactly conserved; the row varies only by roundoff).
+# 44 bytes/column vs 64 raw — a 31% cut of the dominant transfer.
+_PACK_BITS = 45  # |q| <= 2^45: hi = floor(q/2^16) fits i32, q exact in f64
+
+
+def _pack_scales(n_sea_effective: np.ndarray, dims, idx_rare: int) -> np.ndarray:
+    """Per-(sim,row) fixed-point scales from physics bounds: collective sea
+    rows are bounded by 0.5/site, rare rows by (d_rare-1)/2; +0.5 margin."""
+    nse = np.asarray(n_sea_effective, dtype=np.float64)
+    B = nse.shape[0]
+    s = np.empty((B, 6))
+    s[:, :3] = (0.5 * nse + 0.5)[:, None]
+    s[:, 3:] = (dims[idx_rare] - 1) / 2 + 0.5
+    return s
+
+
+@partial(jax.jit, static_argnames=("dims", "idx_rare"))
+def _batched_assembled_all_kernel_packed(
+    w, r, V, c, sea_mask, k_chunks, eps_chunks, qscale, dims, idx_rare
+):
+    """Same compute as _batched_assembled_all_kernel, but the outputs are
+    the packed-transfer planes (flat): obs hi/lo, norm/energy residuals, e0.
+
+    qscale is 2^_PACK_BITS / scale, shape (B, 6)."""
+    out = _batched_assembled_all_kernel(
+        w, r, V, c, sea_mask, k_chunks, eps_chunks, dims, idx_rare
+    )  # (NC, B, 8, Tc)
+    y = jnp.rint(out[:, :, :6, :] * qscale[None, :, :, None])
+    hi = jnp.floor(y / 65536.0)
+    lo = y - hi * 65536.0
+    e0 = jnp.sum(w * (c.re * c.re + c.im * c.im), axis=1)  # (B,)
+    nres = (out[:, :, 6, :] - 1.0).astype(jnp.float32)
+    eres = (out[:, :, 7, :] - e0[None, :, None]).astype(jnp.float32)
+    return (
+        hi.astype(jnp.int32).reshape(-1),
+        lo.astype(jnp.uint16).reshape(-1),
+        nres.reshape(-1),
+        eres.reshape(-1),
+        e0,
+    )
+
+
+def _unpack_group(flats_g, n_chunks_g: int, B: int, Tc: int,
+                  scales: np.ndarray, e0: np.ndarray) -> np.ndarray:
+    """Packed flats of one dispatch group -> (n_chunks_g, B, 8, Tc) f64."""
+    hi, lo, nres, eres = flats_g
+    sh = (n_chunks_g, B, 6, Tc)
+    q = hi.astype(np.float64).reshape(sh) * 65536.0 + lo.astype(np.float64).reshape(sh)
+    obs = q * (scales[None, :, :, None] / float(2 ** _PACK_BITS))
+    norm = 1.0 + nres.astype(np.float64).reshape(n_chunks_g, B, 1, Tc)
+    energy = e0[None, :, None, None] + eres.astype(np.float64).reshape(
+        n_chunks_g, B, 1, Tc
+    )
+    return np.concatenate([obs, norm, energy], axis=2)
+
+
+def _pack_enabled(pack: bool | None) -> bool:
+    if pack is not None:
+        return pack
+    env = os.environ.get("QST_FETCH_PACK")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def default_time_chunk(dim: int, T: int, batch: int = 1) -> int:
     """Bound the per-chunk states block (~32 MB of f64 pairs).
 
@@ -198,11 +270,15 @@ def eig_traces_assembled_batched(
     idx_rare: int,
     t_chunk: int | None = None,
     device_put=None,
+    pack: bool | None = None,
 ) -> np.ndarray:
     """Named-observable traces for a batch: returns (B, 8, T) float64.
 
     Row order is TRACE_ROWS.  ``device_put`` optionally places inputs (used
-    by the dp-sharded path).
+    by the dp-sharded path).  ``pack`` selects the byte-packed transfer
+    format for the trace download (None: on for TPU backends, off on CPU;
+    env QST_FETCH_PACK overrides) — see _PACK_BITS for the format and its
+    quantization bound.
     """
     B, dim = w.shape
     T = len(times)
@@ -216,6 +292,7 @@ def eig_traces_assembled_batched(
     )
 
     custom_put = device_put is not None
+    do_pack = _pack_enabled(pack) and not custom_put
     if device_put is None:
         device_put = lambda x, kind: jnp.asarray(x)
     wd = device_put(w, "batch")
@@ -224,6 +301,9 @@ def eig_traces_assembled_batched(
     psic = Cplx(device_put(psi0.real, "batch"), device_put(psi0.imag, "batch"))
     mask_d = device_put(sea_mask, "batch")
     c = _batched_coeffs_kernel(Vc, psic)
+    if do_pack:
+        scales = _pack_scales(n_sea_effective, dims, idx_rare)
+        qscale_d = jnp.asarray(float(2 ** _PACK_BITS) / scales)
 
     # Ship results FLAT: the tunnel transfers N-D arrays one subarray at a
     # time (measured 300 s vs 1.8 s for the same 50 MB); the (NC, B, 8, Tc)
@@ -238,14 +318,26 @@ def eig_traces_assembled_batched(
     # ~2.2 s trace download under the device program and under other fetches.
     groups = int(os.environ.get("QST_N6_FETCH_GROUPS", "4"))
     n_chunks = k_chunks.shape[0]
+    Tc = k_chunks.shape[1]
     if custom_put or groups <= 1 or n_chunks < 2 * groups:
-        out = _batched_assembled_all_kernel(
-            wd, rd, Vc, c, mask_d,
-            device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
-            dims, idx_rare,
-        )
-        n_chunks, Bk, _, Tc = out.shape
-        arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, Bk, 8, Tc)
+        if do_pack:
+            hi, lo, nres, eres, e0 = _batched_assembled_all_kernel_packed(
+                wd, rd, Vc, c, mask_d,
+                device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
+                qscale_d, dims, idx_rare,
+            )
+            arr = _unpack_group(
+                (np.asarray(hi), np.asarray(lo), np.asarray(nres),
+                 np.asarray(eres)),
+                n_chunks, B, Tc, scales, np.asarray(e0),
+            )
+        else:
+            out = _batched_assembled_all_kernel(
+                wd, rd, Vc, c, mask_d,
+                device_put(k_chunks, "rep"), device_put(eps_chunks, "rep"),
+                dims, idx_rare,
+            )
+            arr = np.asarray(_flatten_kernel(out)).reshape(n_chunks, B, 8, Tc)
         traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
         return traces
 
@@ -260,27 +352,48 @@ def eig_traces_assembled_batched(
             [eps_chunks, np.repeat(eps_chunks[-1:], n_pad - n_chunks, axis=0)],
             axis=0,
         )
-    Tc = k_chunks.shape[1]
     flats: list = [None] * groups
     threads = []
+    e0_holder: list = [None]
     for g in range(groups):
         sl = slice(g * per, (g + 1) * per)
-        out_g = _batched_assembled_all_kernel(
-            wd, rd, Vc, c, mask_d,
-            device_put(k_chunks[sl], "rep"), device_put(eps_chunks[sl], "rep"),
-            dims, idx_rare,
-        )
-        flat_g = _flatten_kernel(out_g)  # dispatched async; fetch in a thread
+        if do_pack:
+            hi, lo, nres, eres, e0 = _batched_assembled_all_kernel_packed(
+                wd, rd, Vc, c, mask_d,
+                device_put(k_chunks[sl], "rep"),
+                device_put(eps_chunks[sl], "rep"),
+                qscale_d, dims, idx_rare,
+            )
+            if g == 0:
+                e0_holder[0] = e0
 
-        def _fetch(i=g, a=flat_g):
-            flats[i] = np.asarray(a)
+            def _fetch(i=g, parts=(hi, lo, nres, eres)):
+                flats[i] = tuple(np.asarray(p) for p in parts)
+
+        else:
+            out_g = _batched_assembled_all_kernel(
+                wd, rd, Vc, c, mask_d,
+                device_put(k_chunks[sl], "rep"),
+                device_put(eps_chunks[sl], "rep"),
+                dims, idx_rare,
+            )
+            flat_g = _flatten_kernel(out_g)  # dispatched async; thread-fetched
+
+            def _fetch(i=g, a=flat_g):
+                flats[i] = np.asarray(a)
 
         th = threading.Thread(target=_fetch, daemon=True, name=f"n6-fetch-{g}")
         th.start()
         threads.append(th)
     for th in threads:
         th.join()
-    arr = np.concatenate(flats).reshape(n_pad, B, 8, Tc)
+    if do_pack:
+        e0_h = np.asarray(e0_holder[0])
+        arr = np.concatenate(
+            [_unpack_group(f, per, B, Tc, scales, e0_h) for f in flats]
+        )
+    else:
+        arr = np.concatenate(flats).reshape(n_pad, B, 8, Tc)
     traces = np.moveaxis(arr, 0, 2).reshape(B, 8, -1)[:, :, :T]
     return traces
 

@@ -262,12 +262,13 @@ def test_simulate_rare_cheb_step_dispatch():
 
 def test_default_arith_per_backend(monkeypatch):
     """The shipped default apply tier tracks the measured winner per backend
-    (BASELINE.md arithmetic ladder, dim 16384 warm steps/s): limb-domain
-    "ext" on TPU, plain f64 dots elsewhere; QST_CHEB_ARITH overrides."""
+    (experiments/arith_ladder_n13.json, dim 16384 warm steps/s through the
+    public entry): fused-Pallas limb-domain "extp" on TPU, plain f64 dots
+    elsewhere; QST_CHEB_ARITH overrides."""
     from quantumsimulations_tpu.dynamics.cheb_step import _default_arith
 
-    assert _default_arith("tpu") == "ext"
-    assert _default_arith("axon") == "ext"
+    assert _default_arith("tpu") == "extp"
+    assert _default_arith("axon") == "extp"
     assert _default_arith("cpu") == "f64"
     assert _default_arith("gpu") == "f64"
 

@@ -278,3 +278,46 @@ def test_assembled_batched_grouped_fetch_bit_identical(monkeypatch):
         got = eig_traces_assembled_batched(*args, t_chunk=64)
         assert got.shape == base.shape
         assert np.array_equal(got, base)
+
+
+def test_assembled_batched_packed_transfer(monkeypatch):
+    """The byte-packed transfer format (48-bit fixed-point observables +
+    f32 norm/energy residuals, eig_propagator._PACK_BITS) must reproduce
+    the raw-f64 traces to its documented quantization bound in both the
+    single-dispatch and grouped paths: |obs err| <= scale*2^-46 per row,
+    norm row err ~1e-20 (f32 of the drift value), energy row err
+    <= |e0|*2^-52 + f32 roundoff of the residual."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        _pack_scales,
+        eig_traces_assembled_batched,
+    )
+
+    p1 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 500.0)
+    p2 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 1500.0,
+                      drive_rare=True)
+    t = np.linspace(0.0, p1.t_final, 700)
+    ws, Vs, psis, nse = [], [], [], []
+    for p in (p1, p2):
+        m = build_model(p)
+        w, V = eigh_host(m.hamiltonian.to_dense())
+        ws.append(w); Vs.append(V); psis.append(m.psi0)
+        nse.append(m.n_sea_effective)
+    m0 = build_model(p1)
+    args = (np.stack(ws), np.stack(Vs), np.stack(psis), t, m0.dims,
+            np.asarray(nse), m0.idx_rare)
+
+    scales = _pack_scales(np.asarray(nse), m0.dims, m0.idx_rare)
+    for groups in ("1", "4"):
+        monkeypatch.setenv("QST_N6_FETCH_GROUPS", groups)
+        raw = eig_traces_assembled_batched(*args, t_chunk=64, pack=False)
+        packed = eig_traces_assembled_batched(*args, t_chunk=64, pack=True)
+        assert packed.shape == raw.shape
+        q = scales * 2.0 ** -46  # (B, 6) quantization bound per row
+        for b in range(raw.shape[0]):
+            for row in range(6):
+                assert np.abs(packed[b, row] - raw[b, row]).max() <= q[b, row]
+        # norm: f32 residual of a ~1e-13 drift — sub-1e-15 absolute
+        assert np.abs(packed[:, 6] - raw[:, 6]).max() < 1e-15
+        # energy: e0 exact f64 + f32 residual of roundoff-level fluctuation
+        e_scale = np.abs(raw[:, 7]).max()
+        assert np.abs(packed[:, 7] - raw[:, 7]).max() < 1e-7 * max(e_scale, 1.0)
