@@ -11,6 +11,8 @@
 set -u
 cd /root/repo
 N_SEA=${N_SEA:-14}
+T_FINAL=${T_FINAL:-30.0}
+STEPS=${STEPS:-20000}
 # spd>1 builds a longer scan program; spd=8 reproducibly crashed the TPU
 # worker at dim 32768 on the f64 tier (compile-side fault class) — spd=1 is
 # the proven setting at dim >= 32768.  Checkpoint cadence keeps the save
@@ -37,7 +39,7 @@ for i in $(seq 1 60); do
   fi
   echo "[wrapper] attempt $i, ${left}s left" >> "$LOG"
   timeout "$left" python experiments/large_bath.py --cheb-step-only \
-    --n-sea "$N_SEA" --t-final 30.0 --steps 20000 >> "$LOG" 2>&1 &
+    --n-sea "$N_SEA" --t-final "$T_FINAL" --steps "$STEPS" >> "$LOG" 2>&1 &
   RUN_PID=$!
   # Stall watchdog: a dispatch blocked on a dead tunnel/worker hangs the
   # client forever without tripping `timeout` (observed 2026-08-19: n14
@@ -57,11 +59,22 @@ for i in $(seq 1 60); do
     fi
   done
   wait "$RUN_PID" 2>/dev/null
+  # The record key is shared with earlier short probes at the same n_sea
+  # (observed 2026-08-20: an 8-step round-4 probe's stale status="ok" made
+  # the wrapper declare a killed 20k-step attempt DONE).  Completion means
+  # status ok AND the record describes THIS workload (t_final, steps).
   status=$(python - <<EOF
 import json
 try:
     d = json.load(open("experiments/large_bath_results.json"))
-    print(d.get("cheb_step_n${N_SEA}", {}).get("status", "missing"))
+    r = d.get("cheb_step_n${N_SEA}", {})
+    s = r.get("status", "missing")
+    if s == "ok" and not (
+        abs(float(r.get("t_final", -1.0)) - float("${T_FINAL}")) < 1e-9
+        and int(r.get("steps", -1)) == int("${STEPS}")
+    ):
+        s = "incomplete"
+    print(s)
 except Exception:
     print("unreadable")
 EOF
