@@ -81,6 +81,51 @@ def test_checkpointed_krylov_resume_matches_uninterrupted(tmp_path):
     assert np.allclose(resumed["norm"], full["norm"], atol=1e-12)
 
 
+def _load_extractor():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments", "extract_partial_trace.py")
+    spec = importlib.util.spec_from_file_location("extract_partial_trace", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_extract_partial_trace_roundtrip(tmp_path):
+    """Partial extraction returns the exact prefix rows of the checkpoint."""
+    from quantumsimulations_tpu.dynamics.checkpoint import save_ext_advance
+
+    mod = _load_extractor()
+    steps, done = 50, 12
+    rng = np.random.default_rng(7)
+    # one flat of 8 row values per dispatched step (spd=1 layout)
+    flats = [rng.normal(size=8) for _ in range(done)]
+    for f in flats:
+        f[6] = 1.0 + 1e-12  # norm row
+    fp = {"engine": "cheb-step", "T": steps, "dim": 64, "arith": "extp"}
+    ckpt = save_ext_advance(
+        str(tmp_path), fp, done, flats,
+        np.zeros(4, np.int8), np.zeros(4, np.int8))
+
+    trace = str(tmp_path / "partial.npz")
+    rec = mod.extract_partial(ckpt, trace, n_sea=5, t_final=30.0, steps=steps)
+    assert rec["status"] == "partial" and rec["steps_done"] == done
+    data = np.load(trace)
+    assert data["rows"].shape == (8, done)
+    np.testing.assert_allclose(data["rows"].T, np.stack(flats), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        data["t"], np.linspace(0.0, 30.0, steps)[:done], rtol=0, atol=0)
+
+    # a checkpoint for a different workload must be refused
+    import pytest
+
+    with pytest.raises(SystemExit):
+        mod.extract_partial(ckpt, trace, n_sea=5, t_final=30.0, steps=steps + 1)
+
+
 def test_initialize_multihost_noop_without_env(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert initialize_multihost() is False
