@@ -412,8 +412,15 @@ def _spawn_workload(name: str, t_final: float, steps: int,
                "--worker", name, "--out", out_path,
                "--t-final", str(t_final), "--steps", str(steps)]
         log(f"[bench] spawning workload {name!r} (attempt {attempt + 1})")
+        # The shared stop flag is the eviction channel for BACKGROUND traces
+        # (_claim_device); a bench workload must never yield to it — a
+        # lingering flag would CooperativeStop the n13 stepping measurement
+        # at its first dispatch.  Point workers at a private, unused path.
+        env = {**os.environ,
+               "QST_STOP_FILE": os.path.join(HERE, ".qst_stop_bench_unused")}
         try:
-            r = subprocess.run(cmd, cwd=HERE, timeout=WORKER_TIMEOUT_S)
+            r = subprocess.run(cmd, cwd=HERE, timeout=WORKER_TIMEOUT_S,
+                               env=env)
             if r.returncode == 0 and os.path.getsize(out_path) > 0:
                 with open(out_path, encoding="utf-8") as f:
                     last = json.load(f)
@@ -473,10 +480,17 @@ def _claim_device() -> None:
     while time.time() < deadline:
         if _wrapper_pid() is None:
             log("[bench] background trace yielded the device")
+            # Consume the flag: it has served its purpose, and leaving it
+            # would insta-stop any trace wrapper launched later.
+            try:
+                os.unlink(stop_file)
+            except OSError:
+                pass
             return
         time.sleep(5)
     log("[bench] WARNING: background trace did not exit within 240 s; "
-        "bench numbers may be contended")
+        "bench numbers may be contended (stop flag left up so the trace "
+        "still yields at its next dispatch boundary)")
 
 
 def emit(metric: dict, log_path: str | None, rev: str) -> None:
