@@ -328,6 +328,7 @@ def bench_n13_steps(measured_steps: int = 24) -> dict:
     again would double-count host work the workload amortizes away).
     """
     from quantumsimulations_tpu.dynamics.cheb_step import (
+        _default_steps_per_dispatch,
         _lambda_bound,
         chebyshev_step_traces,
     )
@@ -336,6 +337,13 @@ def bench_n13_steps(measured_steps: int = 24) -> dict:
     p = _params_production(13, 1000.0, True, True, 30.0, 20_000)
     model = build_model(p)
     dim = int(np.prod(model.dims))
+    # Align warm-up and measured windows to whole dispatches: the n-step
+    # scan is jitted per n, so a remainder dispatch (steps % spd != 0) or a
+    # shorter warm-up would run a DISTINCT executable whose first-dispatch
+    # load (40-260 s) lands inside the measured wall.
+    spd = int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "0")
+              ) or _default_steps_per_dispatch(dim)
+    measured_steps = max(spd, ((measured_steps + spd - 1) // spd) * spd)
     dt = 30.0 / 19_999
     t0 = time.perf_counter()
     lam = _lambda_bound(model.hamiltonian, dim)
@@ -354,7 +362,7 @@ def bench_n13_steps(measured_steps: int = 24) -> dict:
     warm_psi = model.psi0 * complex(1.0, 1e-9)
     warm_psi /= np.linalg.norm(warm_psi)
     t0 = time.perf_counter()
-    run_steps(8, warm_psi)
+    run_steps(spd, warm_psi)
     warmup_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     rows = run_steps(measured_steps, model.psi0)

@@ -51,6 +51,7 @@ enable_persistent_compile_cache(os.path.join(os.path.dirname(HERE), ".jax_cache"
 
 from experiments.large_bath import production_params  # noqa: E402
 from quantumsimulations_tpu.dynamics.cheb_step import (  # noqa: E402
+    _default_steps_per_dispatch,
     _lambda_bound,
     chebyshev_step_traces,
 )
@@ -81,6 +82,21 @@ def main() -> None:
     print(f"n_sea={args.n_sea} dim={dim} lambda={lam:.4g} "
           f"({lam_wall:.1f}s host)", flush=True)
 
+    # Align both windows to whole dispatches: the n-step scan is jitted per
+    # n, so a remainder dispatch (steps % spd != 0) or a warm-up shorter
+    # than one dispatch runs a DISTINCT executable whose first-dispatch
+    # load (40-260 s, docs/ROUND4.md) would land inside the measured wall —
+    # the exact pre-engine-cache measurement bug this harness exists to
+    # avoid.
+    spd = int(os.environ.get("QST_CHEB_STEPS_PER_DISPATCH", "0")
+              ) or _default_steps_per_dispatch(dim)
+    warmup_steps = max(spd, ((args.warmup_steps + spd - 1) // spd) * spd)
+    measured_steps = max(spd, ((args.steps + spd - 1) // spd) * spd)
+    if (warmup_steps, measured_steps) != (args.warmup_steps, args.steps):
+        print(f"aligned to spd={spd} dispatches: warmup "
+              f"{args.warmup_steps}->{warmup_steps}, measured "
+              f"{args.steps}->{measured_steps}", flush=True)
+
     warm_psi = m.psi0 * complex(1.0, 1e-9)
     warm_psi /= np.linalg.norm(warm_psi)
 
@@ -94,7 +110,8 @@ def main() -> None:
     results: dict = {
         "n_sea": args.n_sea, "dim": dim, "dt_s": dt, "lambda": lam,
         "lambda_wall_s": round(lam_wall, 1),
-        "measured_steps": args.steps,
+        "measured_steps": measured_steps,
+        "steps_per_dispatch": spd,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "device": str(jax.devices()[0]),
         "tiers": {},
@@ -103,13 +120,13 @@ def main() -> None:
     tier_walls: dict[str, float] = {}
     for tier in args.tiers.split(","):
         tier = tier.strip()
-        print(f"[{tier}] warm-up ({args.warmup_steps} steps)...", flush=True)
+        print(f"[{tier}] warm-up ({warmup_steps} steps)...", flush=True)
         t0 = time.perf_counter()
         try:
-            run(tier, args.warmup_steps, warm_psi)
+            run(tier, warmup_steps, warm_psi)
             warmup_wall = time.perf_counter() - t0
             t0 = time.perf_counter()
-            rows = run(tier, args.steps, m.psi0)
+            rows = run(tier, measured_steps, m.psi0)
             wall = time.perf_counter() - t0
             tier_rows[tier] = rows
             tier_walls[tier] = wall
@@ -117,7 +134,7 @@ def main() -> None:
                 "status": "ok",
                 "warmup_wall_s": round(warmup_wall, 1),
                 "wall_s": round(wall, 2),
-                "steps_per_s": round(args.steps / wall, 3),
+                "steps_per_s": round(measured_steps / wall, 3),
                 "norm_drift": float(np.abs(rows[6] - 1.0).max()),
             }
         except Exception as exc:
@@ -143,7 +160,7 @@ def main() -> None:
 
     if args.cross_check_out and "f64" in tier_rows and "ext" in tier_rows:
         cc = {
-            "n_sea": args.n_sea, "dim": dim, "steps": args.steps,
+            "n_sea": args.n_sea, "dim": dim, "steps": measured_steps,
             "dt_s": dt,
             "engines": "cheb_step/f64 (XLA-emulated f64 dots) vs "
                        "cheb_step/ext (exact int8-limb integer recurrence)",

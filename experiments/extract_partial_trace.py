@@ -43,6 +43,14 @@ def extract_partial(
     if int(fp.get("T", -1)) != steps:
         raise SystemExit(
             f"checkpoint is for a {fp.get('T')}-step run, not {steps}")
+    # T alone is not enough: a T_FINAL-customized run (run_trace.sh) has the
+    # same step count on a stretched grid — the time axis must come from the
+    # checkpoint's own dt or the committed NPZ mislabels the horizon.
+    dt = float(fp.get("dt", -1.0))
+    if abs(dt * (steps - 1) - t_final) > 1e-9 * max(1.0, t_final):
+        raise SystemExit(
+            f"checkpoint dt {dt} implies t_final {dt * (steps - 1)}, "
+            f"not {t_final} — pass the run's actual --t-final")
     done = int(data["done_blocks"])
     rows_flat = np.asarray(data["rows_flat"])
     if rows_flat.size != done * 8:

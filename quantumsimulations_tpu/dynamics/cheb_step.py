@@ -229,6 +229,18 @@ _ENGINE_CACHE: dict = {}
 _ENGINE_CACHE_MAX = 8
 
 
+def clear_engine_cache() -> int:
+    """Release every cached engine (operator device buffers, apply closures,
+    jitted per-n scan executables, and the strong H references that pin
+    them).  The cache is bounded (FIFO, _ENGINE_CACHE_MAX entries) but
+    pinned memory otherwise lives for the process: a long-lived host that
+    has finished a large-dim solve and wants the HBM back calls this.
+    Returns the number of entries released."""
+    n = len(_ENGINE_CACHE)
+    _ENGINE_CACHE.clear()
+    return n
+
+
 def _engine_for(H: OperatorSum, lam: float, arith: str, split: int | None):
     """Build (or reuse) the apply + scan for one (H, lambda, tier) engine.
 

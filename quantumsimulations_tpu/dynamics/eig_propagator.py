@@ -173,7 +173,13 @@ def _batched_assembled_all_kernel(
 # error ~1e-20) and the energy row as (energy - e0) f32 with e0 = sum w|c|^2
 # f64 per sim (exactly conserved; the row varies only by roundoff).
 # 44 bytes/column vs 64 raw — a 31% cut of the dominant transfer.
+# Fault visibility: a non-finite observable (device fault, NaN input) or one
+# outside its physics bound (|y| > 2^_PACK_BITS: unrepresentable) marks the
+# hi plane with _PACK_BAD_SENTINEL and unpacks to NaN — the packed path must
+# never turn corruption into plausible finite values (the raw path ships the
+# NaN as-is; casting NaN/Inf to int32 would be implementation-defined).
 _PACK_BITS = 45  # |q| <= 2^45: hi = floor(q/2^16) fits i32, q exact in f64
+_PACK_BAD_SENTINEL = np.int32(2**31 - 1)  # legit |hi| <= 2^29
 
 
 def _pack_scales(n_sea_effective: np.ndarray, dims, idx_rare: int) -> np.ndarray:
@@ -198,9 +204,13 @@ def _batched_assembled_all_kernel_packed(
     out = _batched_assembled_all_kernel(
         w, r, V, c, sea_mask, k_chunks, eps_chunks, dims, idx_rare
     )  # (NC, B, 8, Tc)
-    y = jnp.rint(out[:, :, :6, :] * qscale[None, :, :, None])
+    obs = out[:, :, :6, :]
+    y = jnp.rint(obs * qscale[None, :, :, None])
+    bad = ~jnp.isfinite(y) | (jnp.abs(y) > float(2**_PACK_BITS))
+    y = jnp.where(bad, 0.0, y)  # keep the int casts defined
     hi = jnp.floor(y / 65536.0)
     lo = y - hi * 65536.0
+    hi = jnp.where(bad, float(_PACK_BAD_SENTINEL), hi)
     e0 = jnp.sum(w * (c.re * c.re + c.im * c.im), axis=1)  # (B,)
     nres = (out[:, :, 6, :] - 1.0).astype(jnp.float32)
     eres = (out[:, :, 7, :] - e0[None, :, None]).astype(jnp.float32)
@@ -218,8 +228,10 @@ def _unpack_group(flats_g, n_chunks_g: int, B: int, Tc: int,
     """Packed flats of one dispatch group -> (n_chunks_g, B, 8, Tc) f64."""
     hi, lo, nres, eres = flats_g
     sh = (n_chunks_g, B, 6, Tc)
-    q = hi.astype(np.float64).reshape(sh) * 65536.0 + lo.astype(np.float64).reshape(sh)
+    hi = hi.reshape(sh)
+    q = hi.astype(np.float64) * 65536.0 + lo.astype(np.float64).reshape(sh)
     obs = q * (scales[None, :, :, None] / float(2 ** _PACK_BITS))
+    obs = np.where(hi == _PACK_BAD_SENTINEL, np.nan, obs)
     norm = 1.0 + nres.astype(np.float64).reshape(n_chunks_g, B, 1, Tc)
     energy = e0[None, :, None, None] + eres.astype(np.float64).reshape(
         n_chunks_g, B, 1, Tc

@@ -289,3 +289,44 @@ def test_default_arith_per_backend(monkeypatch):
     )[0]
     np.testing.assert_allclose(rows[:7], ref[:7], rtol=0.0, atol=1e-11)
     np.testing.assert_allclose(rows[7], ref[7, 0], rtol=1e-9)
+
+
+def test_engine_cache_reuse_and_clear():
+    """Repeated calls on the same operator reuse one cached engine (the
+    warm-up/measure and sweep-resume pattern); clear_engine_cache releases
+    the pinned device buffers and H references."""
+    from quantumsimulations_tpu.dynamics import cheb_step as cs
+
+    p = _params()
+    m = build_model(p)
+    t = np.linspace(0.0, p.t_final, 8)
+    cs.clear_engine_cache()
+    rows1 = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
+    assert len(cs._ENGINE_CACHE) == 1
+    (entry,) = cs._ENGINE_CACHE.values()
+    assert entry["H"] is m.hamiltonian
+    rows2 = chebyshev_step_traces(
+        m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
+    assert len(cs._ENGINE_CACHE) == 1  # same engine, not a rebuild
+    np.testing.assert_array_equal(rows1, rows2)
+    assert cs.clear_engine_cache() == 1
+    assert len(cs._ENGINE_CACHE) == 0
+
+
+def test_engine_cache_bounded():
+    """The FIFO bound holds: distinct operators never pin more than
+    _ENGINE_CACHE_MAX engines' device buffers."""
+    from quantumsimulations_tpu.dynamics import cheb_step as cs
+
+    cs.clear_engine_cache()
+    t = np.linspace(0.0, 2e-4, 3)
+    models = []
+    for k in range(cs._ENGINE_CACHE_MAX + 2):
+        p = _params(t_final=2e-4, steps=3)
+        m = build_model(p)
+        models.append(m)  # keep H alive: ids must stay distinct
+        chebyshev_step_traces(
+            m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
+    assert len(cs._ENGINE_CACHE) == cs._ENGINE_CACHE_MAX
+    cs.clear_engine_cache()

@@ -105,7 +105,8 @@ def test_extract_partial_trace_roundtrip(tmp_path):
     flats = [rng.normal(size=8) for _ in range(done)]
     for f in flats:
         f[6] = 1.0 + 1e-12  # norm row
-    fp = {"engine": "cheb-step", "T": steps, "dim": 64, "arith": "extp"}
+    fp = {"engine": "cheb-step", "T": steps, "dim": 64, "arith": "extp",
+          "dt": 30.0 / (steps - 1)}
     ckpt = save_ext_advance(
         str(tmp_path), fp, done, flats,
         np.zeros(4, np.int8), np.zeros(4, np.int8))
@@ -124,6 +125,11 @@ def test_extract_partial_trace_roundtrip(tmp_path):
 
     with pytest.raises(SystemExit):
         mod.extract_partial(ckpt, trace, n_sea=5, t_final=30.0, steps=steps + 1)
+    # same step count on a stretched grid (T_FINAL-customized run): the
+    # declared horizon must match the checkpoint's own dt or the committed
+    # NPZ would mislabel the time axis
+    with pytest.raises(SystemExit):
+        mod.extract_partial(ckpt, trace, n_sea=5, t_final=60.0, steps=steps)
 
 
 def test_initialize_multihost_noop_without_env(monkeypatch):

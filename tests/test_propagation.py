@@ -321,3 +321,56 @@ def test_assembled_batched_packed_transfer(monkeypatch):
         # energy: e0 exact f64 + f32 residual of roundoff-level fluctuation
         e_scale = np.abs(raw[:, 7]).max()
         assert np.abs(packed[:, 7] - raw[:, 7]).max() < 1e-7 * max(e_scale, 1.0)
+
+
+def test_packed_transfer_preserves_fault_visibility(monkeypatch):
+    """Corruption must never ship as plausible finite values: a non-finite
+    observable (device fault, NaN input) or one outside its physics bound
+    (unrepresentable in the fixed-point format) unpacks to NaN — the same
+    visibility the raw-f64 path gives a NaN, rather than the
+    implementation-defined result of casting NaN/Inf to int32."""
+    from quantumsimulations_tpu.dynamics.eig_propagator import (
+        eig_traces_assembled_batched,
+    )
+
+    p1 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 500.0)
+    p2 = _mini_params(omega_rf_sea=8.1812e7 * 3.0 - 2 * np.pi * 1500.0,
+                      drive_rare=True)
+    t = np.linspace(0.0, p1.t_final, 700)
+    ws, Vs, psis, nse = [], [], [], []
+    for p in (p1, p2):
+        m = build_model(p)
+        w, V = eigh_host(m.hamiltonian.to_dense())
+        ws.append(w); Vs.append(V); psis.append(m.psi0)
+        nse.append(m.n_sea_effective)
+    m0 = build_model(p1)
+
+    # Sim 0: NaN in the state (the documented TPU-worker fault class).
+    bad_psi = psis[0].copy()
+    bad_psi[0] = np.nan
+    args = (np.stack(ws), np.stack(Vs), np.stack([bad_psi, psis[1]]), t,
+            m0.dims, np.asarray(nse), m0.idx_rare)
+    for groups in ("1", "4"):
+        monkeypatch.setenv("QST_N6_FETCH_GROUPS", groups)
+        packed = eig_traces_assembled_batched(*args, t_chunk=64, pack=True)
+        assert np.isnan(packed[0, :6]).all()   # corrupted sim: visible
+        assert np.isfinite(packed[1]).all()    # healthy sim: untouched
+
+    # Sim 0: finite but out of the physics bound the scale encodes
+    # (norm ~1e3 state -> observables ~1e6x the bound): unrepresentable,
+    # ships as NaN rather than a silently wrapped finite value.
+    huge_psi = psis[0] * 1e3
+    args = (np.stack(ws), np.stack(Vs), np.stack([huge_psi, psis[1]]), t,
+            m0.dims, np.asarray(nse), m0.idx_rare)
+    monkeypatch.setenv("QST_N6_FETCH_GROUPS", "1")
+    from quantumsimulations_tpu.dynamics.eig_propagator import _pack_scales
+
+    raw = eig_traces_assembled_batched(*args, t_chunk=64, pack=False)
+    packed = eig_traces_assembled_batched(*args, t_chunk=64, pack=True)
+    scales = _pack_scales(np.asarray(nse), m0.dims, m0.idx_rare)
+    # Every value past its row's bound is NaN (none wrap to finite garbage);
+    # values still inside the representable range (zero crossings) survive.
+    over = np.abs(raw[0, :6]) > scales[0][:, None] * 1.0001
+    assert over.any()
+    assert np.isnan(packed[0, :6][over]).all()
+    assert np.isfinite(packed[1]).all()
