@@ -330,3 +330,18 @@ def test_engine_cache_bounded():
             m.hamiltonian, m.psi0, t, m.dims, m.n_sea_effective, m.idx_rare)
     assert len(cs._ENGINE_CACHE) == cs._ENGINE_CACHE_MAX
     cs.clear_engine_cache()
+
+
+def test_default_steps_per_dispatch_table():
+    """The dim-aware dispatch sizing must stay inside the measured-safe
+    envelope (docs/ROUND4.md fault record: spd=64 crashes the TPU worker at
+    dim 16384 and spd=8 at dim 32768; 64/8/1 are proven by multi-hour runs)."""
+    from quantumsimulations_tpu.dynamics.cheb_step import (
+        _default_steps_per_dispatch,
+    )
+
+    assert _default_steps_per_dispatch(128) == 64
+    assert _default_steps_per_dispatch(8192) == 64
+    assert _default_steps_per_dispatch(16384) == 8
+    assert _default_steps_per_dispatch(32768) == 1
+    assert _default_steps_per_dispatch(1 << 16) == 1
